@@ -1,0 +1,106 @@
+"""Solver options - union of the reference's C++ parameters
+(/root/reference/src/LyapunovSolver.hpp:72-98) and the MATLAB opts struct
+(/root/reference/matlab/RAILSsolver.m:93-254), with TPU-specific knobs.
+
+Validation rules mirror the reference's error ids
+(RAILSsolver:InvalidOption etc.).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Callable, Optional
+
+__all__ = ["SolverOptions", "InvalidOption"]
+
+
+class InvalidOption(ValueError):
+    """Mirrors MATLAB error id 'RAILSsolver:InvalidOption'."""
+
+
+@dataclasses.dataclass
+class SolverOptions:
+    # --- core iteration (C++ names in comments) ---
+    maxit: int = 100                     # "Maximum iterations" (MATLAB default)
+    tol: float = 1e-4                    # "Tolerance" (MATLAB default)
+    expand: int = 3                      # "Expand size"
+    lanczos_vectors: Optional[int] = None  # "Lanczos iterations"; None -> max(2*expand, 10)
+    lanczos_tolerance: Optional[float] = None  # eigs tolerance (advisory)
+
+    # --- restarts ---
+    restart_size: int = -1               # "Restart size": max space columns
+    reduced_size: int = -1               # "Reduced size": columns kept at restart
+    restart_iterations: int = -1         # "Restart iterations" (MATLAB default -1;
+                                         #  the C++ default is 20)
+    restart_tolerance: Optional[float] = None  # "Restart tolerance"; None -> 1e-3*tol
+    restart_upon_convergence: bool = True  # == C++ "Minimize solution space"
+    restart_upon_start: bool = False
+
+    # --- space / warm start ---
+    space: Optional[Any] = None          # initial V_0 (array)
+    space_is_orthogonalized: bool = False
+    restart_data: Optional[dict] = None  # {V, AV, VAV} warm start
+    restart_from_solution: bool = False  # C++ param: treat `space` as previous V
+
+    # --- projection methods / inexact inverse ---
+    projection_method: float = 1.0       # 1, 1.1, 1.2, 1.3, 2.1, 2.2, 2.3
+    inv_a: Optional[Callable] = None     # opts.invA / opts.Ainv: x -> A^{-1} x
+
+    # --- orthogonalization ---
+    ortho: Optional[str] = None          # 'M' for M-orthogonalization
+    nullspace: Optional[Any] = None      # (m, q) basis to deflate
+    fast_orthogonalization: bool = True  # block CGS(2) vs per-column MGS
+    ortho_drop_tol: float = 1e-8         # MATLAB Morth tol
+
+    # --- TPU-specific ---
+    dtype: Any = None                    # None -> jax default real dtype
+    max_space: Optional[int] = None      # hard cap on the padded basis buffer
+    projected_solver: str = "auto"       # 'auto'|'schur'|'eigh'|'sign'|'kron'
+    lanczos_reorth: bool = True          # full reorthogonalization in the
+                                         # residual Lanczos (the reference
+                                         # does not reorthogonalize)
+    seed: int = 4634
+    verbosity: int = 0
+
+    def __post_init__(self):
+        if isinstance(self.verbosity, str):
+            self.verbosity = 1 if self.verbosity == "Verbose" else int(self.verbosity)
+        if self.reduced_size > 0 and self.restart_size > 0 \
+                and self.reduced_size >= self.restart_size:
+            raise InvalidOption(
+                "reduced_size should be smaller than restart_size")
+        if self.reduced_size <= 0 and self.restart_size > 0:
+            # MATLAB: reduced_size = restart_size / 2
+            self.reduced_size = self.restart_size // 2
+        pm = self.projection_method
+        major = math.floor(pm)
+        minor = round((pm - major) * 10)
+        if major not in (1, 2) or minor not in (0, 1, 2, 3):
+            raise InvalidOption(f"invalid projection_method {pm}")
+        self.projection_major = major
+        self.projection_minor = minor
+
+    @property
+    def effective_restart_tolerance(self) -> float:
+        return self.restart_tolerance if self.restart_tolerance is not None \
+            else 1e-3 * self.tol
+
+    @property
+    def effective_lanczos(self) -> int:
+        if self.lanczos_vectors is not None:
+            return self.lanczos_vectors
+        # C++ default: 10 Lanczos iterations with the constraint
+        # lanczos_iterations > expand_size (LyapunovSolver.hpp:89-95)
+        return max(2 * self.expand, 10)
+
+    @property
+    def uses_inverse_on_expand(self) -> bool:
+        """MATLAB: 1 < pm < 2 -> w = inv(A) w;  2 < pm < 3 -> [w, inv(A) w]
+        (/root/reference/matlab/RAILSsolver.m:520-524)."""
+        return self.projection_minor > 0
+
+    @property
+    def expansion_doubles(self) -> bool:
+        """projection_method 2.x appends [w, A^{-1} w]."""
+        return self.projection_major == 2 and self.projection_minor > 0

@@ -1,0 +1,724 @@
+"""The RAILS iteration, TPU-native.
+
+Re-implements the residual-eigenvector subspace expansion algorithm of the
+reference (C++ Solver::solve, /root/reference/src/LyapunovSolver.hpp:100-346;
+MATLAB feature-superset RAILSsolver, /root/reference/matlab/RAILSsolver.m)
+as a *static-shape masked* state machine:
+
+- The search space V lives in a preallocated (m, K) buffer with an active
+  column count ``k``; columns >= k are exactly zero.  The reference's
+  capacity/size split (StlWrapper m_max_/n_max_,
+  /root/reference/src/StlWrapper.hpp:15-21) maps onto XLA's static-shape
+  requirement: push_back and restart-truncation become
+  ``dynamic_update_slice`` + mask bookkeeping, never a reallocation, and
+  the whole iteration compiles exactly once.
+- Projected matrices VAV/VBV/VMV are (K, K) buffers that are *exactly*
+  zero outside the active block (an invariant maintained by construction:
+  all incremental updates write zeros beyond k).
+- The projected dense solve pads the inactive diagonal with a shift that
+  strictly dominates the active spectral radius, so the padded standard
+  Lyapunov equation is always solvable and yields T == 0 outside the
+  active block.
+- The per-iteration work (incremental Gram updates, dense solve, residual
+  Lanczos, restart rotation, masked orthogonalization) are pure jittable
+  functions over a SolverState pytree; the host loop only reads back a few
+  scalars per iteration (or use ``compiled=True`` for a single
+  lax.while_loop with zero host round-trips).
+
+Parallelism: V/AV/MV are row-sharded jax.Arrays when A is sharded; every
+``V.T @ W`` contraction below becomes local-GEMM + psum under GSPMD
+(the reference's Epetra Multiply + MPI_Allreduce,
+/root/reference/src/Epetra_MultiVectorWrapper.cpp:418-438), and
+``V @ (small)`` stays communication-free - the same cost model as the
+reference's row-partitioned MPI design (SURVEY.md section 2.7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rails_tpu.core.options import SolverOptions
+from rails_tpu.linalg import dense_lyap
+from rails_tpu.operators import (
+    CallableOperator,
+    LinearOperator,
+    as_operator,
+    operator_norm2,
+)
+from rails_tpu.utils.dtypes import highest_precision
+from rails_tpu.timer import timer
+
+__all__ = ["LyapunovSolver", "SolveInfo", "solve"]
+
+
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+class SolverState(NamedTuple):
+    """All dynamic per-iteration data (a pytree of arrays)."""
+
+    key: jax.Array          # PRNG state
+    V: jax.Array            # (m, Kb) search space, cols >= k are zero
+    AV: jax.Array           # (m, Kb) A @ V
+    BV: jax.Array           # (p, Kb) B' @ V
+    MV: Optional[jax.Array]  # (m, Kb) M @ V (None when M is None)
+    VAV: jax.Array          # (Kb, Kb) V' A V
+    VBV: jax.Array          # (Kb, Kb) V' B B' V
+    VMV: Optional[jax.Array]  # (Kb, Kb) V' M V
+    T: jax.Array            # (Kb, Kb) projected solution
+    k: jax.Array            # int32 active columns
+    w_start: jax.Array      # int32 offset of newest block
+    n_new: jax.Array        # int32 valid columns in newest block
+    res: jax.Array          # last relative residual estimate
+    iter: jax.Array         # int32 completed iterations
+    iter_since_restart: jax.Array
+    converged: jax.Array    # bool: tolerance reached at least once
+    reduced: jax.Array      # bool: post-convergence restart done
+    done: jax.Array         # bool
+    status: jax.Array       # int32: 0 converged / -1 not converged / 1 running
+    resvec: jax.Array       # (maxit,) residual history
+    recvec: jax.Array       # (maxit,) bool: resvec entry valid
+    mvps: jax.Array         # int32 logical A-column applications
+
+
+@dataclasses.dataclass
+class SolveInfo:
+    res: float
+    iter: int
+    status: int
+    resvec: np.ndarray
+    timevec: np.ndarray
+    mvps: int
+    restart_data: Optional[dict] = None
+
+    @property
+    def converged(self) -> bool:
+        return self.status == 0
+
+
+class LyapunovSolver:
+    """Solves A X M' + M X A' + B B' = 0, X ~= V T V'.
+
+    Mirrors RAILS::Solver (/root/reference/src/LyapunovSolverDecl.hpp:9-51)
+    and MATLAB RAILSsolver; see SolverOptions for the knob set.
+    """
+
+    def __init__(self, a, b, m=None, options: Optional[SolverOptions] = None,
+                 **opt_kwargs):
+        self.options = options or SolverOptions(**opt_kwargs)
+        self.A = as_operator(a)
+        self.M = as_operator(m) if m is not None else None
+        b_arr = b
+        if isinstance(b, LinearOperator):
+            self.B = b
+            self._b_is_operator = True
+        else:
+            self.B = None
+            self._b_array = jnp.asarray(b_arr)
+            if self._b_array.ndim == 1:
+                self._b_array = self._b_array[:, None]
+            self._b_is_operator = False
+        self._engine_cache = {}
+
+    # ------------------------------------------------------------------
+    # static resolution
+    # ------------------------------------------------------------------
+    def _resolve_lyap_method(self) -> Tuple[str, bool]:
+        """Pick the projected dense solver from operator tags (static)."""
+        opt = self.options
+        if opt.projected_solver != "auto":
+            spd = self.M is not None and self.M.is_spd
+            return opt.projected_solver, spd
+        mortho = opt.ortho == "M"
+        if self.A.is_symmetric and (self.M is None or self.M.is_spd or mortho):
+            return "eigh", (self.M is not None and self.M.is_spd and not mortho)
+        if self.A.is_hurwitz and self.M is None:
+            return "sign", False
+        return "schur", False
+
+    # ------------------------------------------------------------------
+    # public API
+    # ------------------------------------------------------------------
+    def solve(self, compiled: bool = False):
+        """Run the iteration.  Returns (V, T, SolveInfo)."""
+        opt = self.options
+        m = self.A.shape[0]
+        dtype = jnp.dtype(opt.dtype) if opt.dtype is not None \
+            else jnp.asarray(0.0).dtype
+
+        with timer("Solver", "init"):
+            state, static = self._init_state(m, dtype)
+        iterate = self._build_iterate(static)
+
+        t0 = time.perf_counter()
+        timevec = []
+        if compiled:
+            with timer("Solver", "while_loop"):
+                def cond(st):
+                    return ~st.done
+
+                state = jax.jit(lambda st: jax.lax.while_loop(
+                    cond, iterate, st))(state)
+                state.res.block_until_ready()
+            timevec = [time.perf_counter() - t0] * int(state.iter)
+        else:
+            step = jax.jit(iterate)
+            while True:
+                with timer("Solver", "iterate"):
+                    state = step(state)
+                    done = bool(state.done)
+                timevec.append(time.perf_counter() - t0)
+                if opt.verbosity > 0:
+                    print(f"Iteration {int(state.iter)}. "
+                          f"Estimate Lanczos, relative: {float(state.res):e}, "
+                          f"space size: {int(state.k)}")
+                if done:
+                    break
+
+        k = int(state.k)
+        v = state.V[:, :k]
+        t = state.T[:k, :k]
+        recvec = np.asarray(state.recvec[: int(state.iter)])
+        resvec = np.asarray(state.resvec[: int(state.iter)])[recvec]
+        tv = np.asarray(timevec, dtype=float)[: int(state.iter)][recvec] \
+            if len(timevec) >= int(state.iter) else np.asarray(timevec)
+        info = SolveInfo(
+            res=float(state.res),
+            iter=int(state.iter),
+            status=int(state.status),
+            resvec=resvec,
+            timevec=tv,
+            mvps=int(state.mvps),
+            restart_data={
+                "V": v, "AV": state.AV[:, :k], "VAV": state.VAV[:k, :k]},
+        )
+        if self.options.verbosity > 0:
+            outcome = "converged" if info.status == 0 else "did not converge"
+            print(f"The Lyapunov solver {outcome} in {info.iter} iterations "
+                  f"with a final relative residual of {info.res:e}. "
+                  f"The size of the space used for the solution is {k}")
+        return v, t, info
+
+    # ------------------------------------------------------------------
+    # initialization (host side; shapes become static)
+    # ------------------------------------------------------------------
+    def _b_matmat(self, x):
+        if self._b_is_operator:
+            return self.B.matmat(x)
+        return self._b_array @ x
+
+    def _b_rmatmat(self, x):
+        if self._b_is_operator:
+            return self.B.rmatmat(x)
+        return self._b_array.T @ x
+
+    def _b_norm2sq(self):
+        """||B||_2^2 = ||B'B||_2, the residual normalization r0
+        (C++ r0 = B_.norm() used as tol*r0^2,
+        /root/reference/src/LyapunovSolver.hpp:134,223; MATLAB
+        r0 = norm(full(B'*B), 2), RAILSsolver.m:335)."""
+        if self._b_is_operator:
+            return operator_norm2(self.B) ** 2
+        bb = self._b_array.T @ self._b_array
+        return jnp.linalg.eigvalsh(bb)[-1]
+
+    def _init_space(self, m, dtype, key):
+        """Initial V_0 per opts: space | restart_data | B | random, with
+        projection-method enrichment (RAILSsolver.m:288-308)."""
+        opt = self.options
+        v0 = None
+        if opt.restart_data is not None:
+            rd = opt.restart_data
+            for field in ("V", "AV", "VAV"):
+                if field not in rd:
+                    from rails_tpu.core.options import InvalidOption
+                    raise InvalidOption(
+                        "restart_data does not contain valid restart data")
+            v0 = jnp.asarray(rd["V"], dtype=dtype)
+        elif opt.space is not None:
+            v0 = jnp.asarray(opt.space, dtype=dtype)
+            if v0.ndim == 1:
+                v0 = v0[:, None]
+            if v0.shape[0] != m:
+                from rails_tpu.core.options import InvalidOption
+                raise InvalidOption(
+                    "opts.space should have the same row dimension as A")
+        if v0 is None:
+            v0 = (jax.random.uniform(key, (m, 1), dtype=dtype) - 0.5) * 2.0
+
+        inv_a = self.options.inv_a
+        pm_major, pm_minor = opt.projection_major, opt.projection_minor
+        if inv_a is not None and pm_minor == 1:
+            w = inv_a(v0)
+        elif inv_a is not None and pm_minor == 2:
+            v0 = self._b_matmat(jnp.eye(
+                self._p(), dtype=dtype)) if self._b_is_operator \
+                else jnp.asarray(self._b_array, dtype=dtype)
+            w = inv_a(v0)
+        else:
+            w = v0
+        if inv_a is not None and pm_major == 2 and pm_minor != 3 and pm_minor != 0:
+            v0 = jnp.concatenate([v0, w], axis=1)
+        elif inv_a is not None and pm_major == 1 and pm_minor in (1, 2):
+            v0 = w
+        return v0
+
+    def _p(self) -> int:
+        return self.B.shape[1] if self._b_is_operator else self._b_array.shape[1]
+
+    def _init_state(self, m, dtype):
+        opt = self.options
+        key = jax.random.PRNGKey(opt.seed)
+        key, sub = jax.random.split(key)
+
+        v0 = self._init_space(m, dtype, sub)
+        nullspace = None
+        if opt.nullspace is not None:
+            nullspace = _host_orthonormalize(
+                jnp.asarray(opt.nullspace, dtype=dtype), None,
+                self.M if opt.ortho == "M" else None, opt.ortho_drop_tol)
+        mop = self.M if opt.ortho == "M" else None
+        if not (opt.space_is_orthogonalized and opt.restart_data is None):
+            v0 = _host_orthonormalize(v0, nullspace, mop, opt.ortho_drop_tol)
+        k0 = int(v0.shape[1])
+        p = self._p()
+
+        s_top = min(opt.expand, p) if not self._b_is_operator else opt.expand
+        s_slot = s_top * (2 if opt.expansion_doubles else 1)
+        lanczos_l = max(opt.effective_lanczos, s_top + 1)
+
+        # padded buffer size (see module docstring)
+        if opt.restart_size > 0:
+            cap = min(m, opt.restart_size + 2 * s_slot)
+        else:
+            cap = min(m, k0 + opt.maxit * s_slot)
+        if opt.max_space is not None:
+            cap = min(cap, opt.max_space)
+        cap = max(cap, k0 + s_slot)
+        kb = min(_round_up(cap, 8), m + s_slot) + s_slot
+
+        has_m = self.M is not None
+        mortho = opt.ortho == "M"
+
+        # --- first Gram block (host, full k0 width) ---
+        V = jnp.zeros((m, kb), dtype=dtype).at[:, :k0].set(v0)
+        av0 = self.A.matmat(v0)
+        AV = jnp.zeros((m, kb), dtype=dtype).at[:, :k0].set(av0)
+        bv0 = self._b_rmatmat(v0)
+        BV = jnp.zeros((p, kb), dtype=dtype).at[:, :k0].set(bv0)
+        VAV = jnp.zeros((kb, kb), dtype=dtype).at[:k0, :k0].set(v0.T @ av0)
+        VBV = jnp.zeros((kb, kb), dtype=dtype).at[:k0, :k0].set(bv0.T @ bv0)
+        if has_m and not mortho:
+            mv0 = self.M.matmat(v0)
+            MV = jnp.zeros((m, kb), dtype=dtype).at[:, :k0].set(mv0)
+            VMV = jnp.zeros((kb, kb), dtype=dtype).at[:k0, :k0].set(v0.T @ mv0)
+        elif has_m:
+            mv0 = self.M.matmat(v0)
+            MV = jnp.zeros((m, kb), dtype=dtype).at[:, :k0].set(mv0)
+            VMV = None
+        else:
+            MV, VMV = None, None
+
+        if opt.restart_data is not None:
+            rd = opt.restart_data
+            AV = AV.at[:, :k0].set(jnp.asarray(rd["AV"], dtype=dtype))
+            VAV = VAV.at[:k0, :k0].set(jnp.asarray(rd["VAV"], dtype=dtype))
+
+        r0sq = jnp.asarray(self._b_norm2sq(), dtype=dtype)
+
+        state = SolverState(
+            key=key,
+            V=V, AV=AV, BV=BV, MV=MV, VAV=VAV, VBV=VBV, VMV=VMV,
+            T=jnp.zeros((kb, kb), dtype=dtype),
+            k=jnp.int32(k0), w_start=jnp.int32(0), n_new=jnp.int32(0),
+            res=jnp.asarray(jnp.inf, dtype=dtype),
+            iter=jnp.int32(0), iter_since_restart=jnp.int32(0),
+            converged=jnp.asarray(False), reduced=jnp.asarray(False),
+            done=jnp.asarray(False), status=jnp.int32(1),
+            resvec=jnp.zeros((opt.maxit,), dtype=dtype),
+            recvec=jnp.zeros((opt.maxit,), dtype=bool),
+            mvps=jnp.int32(k0),
+        )
+        lyap_method, e_spd = self._resolve_lyap_method()
+        static = dict(
+            m=m, p=p, kb=kb, s_top=s_top, s_slot=s_slot, L=lanczos_l,
+            has_m=has_m, mortho=mortho, dtype=dtype,
+            lyap_method=lyap_method, e_spd=e_spd,
+            nullspace=nullspace, r0sq=r0sq,
+            k_limit=min(m, kb - s_slot),
+        )
+        return state, static
+
+    # ------------------------------------------------------------------
+    # the jitted iteration
+    # ------------------------------------------------------------------
+    def _build_iterate(self, static):
+        opt = self.options
+        A, B_op, M = self.A, self.B, self.M
+        b_arr = None if self._b_is_operator else self._b_array
+        m, p, kb = static["m"], static["p"], static["kb"]
+        s_top, s_slot, L = static["s_top"], static["s_slot"], static["L"]
+        has_m, mortho = static["has_m"], static["mortho"]
+        dtype = static["dtype"]
+        lyap_method, e_spd = static["lyap_method"], static["e_spd"]
+        nullspace = static["nullspace"]
+        r0sq = static["r0sq"]
+        k_limit = static["k_limit"]
+        maxit, tol = opt.maxit, opt.tol
+        rtol = opt.effective_restart_tolerance
+        reduced_size = opt.reduced_size
+        restart_size = opt.restart_size
+        restart_iterations = opt.restart_iterations
+        inv_a = opt.inv_a
+        drop_tol = opt.ortho_drop_tol
+        eps = float(jnp.finfo(dtype).eps)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
+
+        def b_matmat(x):
+            return B_op.matmat(x) if b_arr is None else b_arr @ x
+
+        def b_rmatmat(x):
+            return B_op.rmatmat(x) if b_arr is None else b_arr.T @ x
+
+        def mv_or_v(st):
+            return st.MV if has_m else st.V
+
+        # -------------------- Gram update --------------------
+        def gram_update(st: SolverState) -> SolverState:
+            W = jax.lax.dynamic_slice(st.V, (jnp.int32(0), st.w_start), (m, s_slot))
+            AW = A.matmat(W)
+            WAV = W.T @ st.AV
+            VAVn = jax.lax.dynamic_update_slice(st.VAV, WAV, (st.w_start, jnp.int32(0)))
+            AVn = jax.lax.dynamic_update_slice(st.AV, AW, (jnp.int32(0), st.w_start))
+            VAW = st.V.T @ AW
+            VAVn = jax.lax.dynamic_update_slice(VAVn, VAW, (jnp.int32(0), st.w_start))
+
+            BW = b_rmatmat(W)
+            WBV = BW.T @ st.BV
+            VBVn = jax.lax.dynamic_update_slice(st.VBV, WBV, (st.w_start, jnp.int32(0)))
+            VBVn = jax.lax.dynamic_update_slice(VBVn, WBV.T, (jnp.int32(0), st.w_start))
+            WBW = BW.T @ BW
+            VBVn = jax.lax.dynamic_update_slice(
+                VBVn, WBW, (st.w_start, st.w_start))
+            BVn = jax.lax.dynamic_update_slice(st.BV, BW, (jnp.int32(0), st.w_start))
+
+            MVn, VMVn = st.MV, st.VMV
+            if has_m:
+                MW = M.matmat(W)
+                MVn = jax.lax.dynamic_update_slice(st.MV, MW, (jnp.int32(0), st.w_start))
+                if not mortho:
+                    WMV = W.T @ st.MV
+                    VMVn = jax.lax.dynamic_update_slice(
+                        st.VMV, WMV, (st.w_start, jnp.int32(0)))
+                    VMW = st.V.T @ MW
+                    VMVn = jax.lax.dynamic_update_slice(
+                        VMVn, VMW, (jnp.int32(0), st.w_start))
+            return st._replace(AV=AVn, BV=BVn, MV=MVn, VAV=VAVn, VBV=VBVn,
+                               VMV=VMVn, mvps=st.mvps + st.n_new)
+
+        # -------------------- projected dense solve --------------------
+        def project_solve(st: SolverState) -> SolverState:
+            active = (col_ids < st.k).astype(dtype)
+            inactive_diag = jnp.diag(1.0 - active)
+            if has_m and not mortho:
+                vmv_i = st.VMV + inactive_diag  # identity padding
+                if e_spd and lyap_method == "eigh":
+                    l = jnp.linalg.cholesky(
+                        0.5 * (vmv_i + vmv_i.T))
+                    at = jax.scipy.linalg.solve_triangular(
+                        l, st.VAV, lower=True)
+                    at = jax.scipy.linalg.solve_triangular(
+                        l, at.T, lower=True).T
+                    ct = jax.scipy.linalg.solve_triangular(
+                        l, st.VBV, lower=True)
+                    ct = jax.scipy.linalg.solve_triangular(
+                        l, ct.T, lower=True).T
+
+                    def back(y):
+                        x = jax.scipy.linalg.solve_triangular(
+                            l, y, lower=True, trans="T")
+                        return jax.scipy.linalg.solve_triangular(
+                            l, x.T, lower=True, trans="T").T
+                else:
+                    at = jnp.linalg.solve(vmv_i, st.VAV)
+                    ct = jnp.linalg.solve(
+                        vmv_i, jnp.linalg.solve(vmv_i, st.VBV).T).T
+
+                    def back(y):
+                        return y
+            else:
+                at, ct = st.VAV, st.VBV
+
+                def back(y):
+                    return y
+            # dominate the active spectral radius so the padding never
+            # collides with active eigenvalues (see module docstring)
+            a_pad = -(jnp.max(jnp.sum(jnp.abs(at), axis=1)) + 1.0)
+            at = at + a_pad * inactive_diag
+            ct = 0.5 * (ct + ct.T)
+            y = dense_lyap.lyap(at, ct, method=lyap_method)
+            t_new = back(y)
+            # enforce exact masking of the inactive block
+            mask2 = (col_ids[:, None] < st.k) & (col_ids[None, :] < st.k)
+            t_new = jnp.where(mask2, t_new, 0.0)
+            return st._replace(T=0.5 * (t_new + t_new.T))
+
+        # -------------------- residual Lanczos --------------------
+        def resid_apply(st, q):
+            """R q = B(B'q) + AV(T(MV'q)) + MV(T(AV'q)) - matrix-free
+            application of the residual (C++ resid_lanczos inner ops,
+            /root/reference/src/LyapunovSolver.hpp:388-403)."""
+            mv = mv_or_v(st)
+            y = b_matmat(b_rmatmat(q))
+            y = y + st.AV @ (st.T @ (mv.T @ q))
+            y = y + mv @ (st.T @ (st.AV.T @ q))
+            return y
+
+        def lanczos(st: SolverState):
+            key, sub = jax.random.split(st.key)
+            q0 = jax.random.normal(sub, (m, 1), dtype=dtype)
+            q0 = q0 / jnp.linalg.norm(q0)
+            qbuf0 = jnp.zeros((m, L), dtype=dtype)
+            breakdown = eps * 100.0
+
+            def step(carry, j):
+                qbuf, q, q_prev, beta_prev, valid, scale = carry
+                qbuf = qbuf.at[:, j].set(q[:, 0])
+                y = resid_apply(st, q)
+                alpha = (y.T @ q)[0, 0]
+                y = y - alpha * q - beta_prev * q_prev
+                if opt.lanczos_reorth:
+                    # full reorthogonalization (the reference skips this;
+                    # it costs 2 m*L GEMMs and buys clean extremal pairs)
+                    y = y - qbuf @ (qbuf.T @ y)
+                beta = jnp.linalg.norm(y)
+                scale = jnp.maximum(scale, jnp.abs(alpha) + beta)
+                valid_next = valid & (beta > breakdown * scale)
+                alpha_out = jnp.where(valid, alpha, 0.0)
+                beta_out = jnp.where(valid_next, beta, 0.0)
+                q_next = jnp.where(valid_next, y / jnp.where(
+                    beta > 0, beta, 1.0), 0.0)
+                return ((qbuf, q_next, q, beta_out, valid_next, scale),
+                        (alpha_out, beta_out))
+
+            (qbuf, *_), (alphas, betas) = jax.lax.scan(
+                step, (qbuf0, q0, jnp.zeros_like(q0),
+                       jnp.asarray(0.0, dtype), jnp.asarray(True),
+                       jnp.asarray(0.0, dtype)),
+                jnp.arange(L))
+            h = jnp.diag(alphas) + jnp.diag(betas[:-1], 1) \
+                + jnp.diag(betas[:-1], -1)
+            evals, evecs = jnp.linalg.eigh(h)
+            order = jnp.argsort(-jnp.abs(evals))
+            evals = evals[order]
+            evecs = evecs[:, order]
+            cands = qbuf @ evecs[:, :s_top]
+            res_abs = jnp.abs(evals[0])
+            return st._replace(key=key), res_abs, cands
+
+        # -------------------- restart --------------------
+        def restart(st: SolverState) -> SolverState:
+            """Truncate the space to the dominant eigenvectors of T
+            (C++ compute_restart_vectors, LyapunovSolver.hpp:449-482;
+            MATLAB RAILSsolver.m:455-513, relative-tolerance filter)."""
+            evals, evecs = jnp.linalg.eigh(st.T)
+            aevals = jnp.abs(evals)
+            order = jnp.argsort(-aevals)
+            aevals = aevals[order]
+            x = evecs[:, order]
+            emax = jnp.maximum(aevals[0], jnp.finfo(dtype).tiny)
+            keep = (aevals / emax > rtol) & (col_ids < st.k)
+            if reduced_size > 0:
+                keep = keep & (col_ids < reduced_size)
+            new_k = jnp.sum(keep).astype(jnp.int32)
+            x = x * keep[None, :].astype(dtype)
+
+            v = st.V @ x
+            av = st.AV @ x
+            bv = st.BV @ x
+            vav = x.T @ st.VAV @ x
+            vbv = x.T @ st.VBV @ x
+            vbv = 0.5 * (vbv + vbv.T)
+            mv_n, vmv_n = st.MV, st.VMV
+            if has_m:
+                mv_n = st.MV @ x
+                if not mortho:
+                    vmv_n = x.T @ st.VMV @ x
+            return st._replace(
+                V=v, AV=av, BV=bv, MV=mv_n, VAV=vav, VBV=vbv, VMV=vmv_n,
+                k=new_k, w_start=jnp.int32(0), n_new=jnp.int32(0),
+                iter_since_restart=jnp.int32(0))
+
+        # -------------------- expansion --------------------
+        def orthonormal_append(st: SolverState, wraw) -> SolverState:
+            """Orthogonalize candidates against V (and optional nullspace /
+            M-inner product), drop near-dependent ones, compact, append.
+            The stability-critical kernel (reference orthogonalize,
+            /root/reference/src/StlWrapper.cpp:305-321 + MATLAB Morth,
+            RAILSsolver.m:538-618)."""
+            def inner_prep(w):
+                return M.matmat(w) if mortho else w
+
+            cols = []
+            flags = []
+            wacc = jnp.zeros((m, s_slot), dtype=dtype)
+            accmask = jnp.zeros((s_slot,), dtype=dtype)
+            for i in range(s_slot):
+                w = wraw[:, i:i + 1]
+                n0 = jnp.linalg.norm(w)
+                w = w / jnp.where(n0 > 0, n0, 1.0)
+                for _ in range(2):  # two CGS passes
+                    if nullspace is not None:
+                        w = w - nullspace @ (nullspace.T @ inner_prep(w))
+                    w = w - st.V @ (st.V.T @ inner_prep(w))
+                    w = w - wacc @ (wacc.T @ inner_prep(w))
+                if mortho:
+                    n1 = jnp.sqrt(jnp.maximum(
+                        (w.T @ M.matmat(w))[0, 0], 0.0))
+                else:
+                    n1 = jnp.linalg.norm(w)
+                ok = (n1 > drop_tol) & (n0 > 0)
+                w = jnp.where(ok, w / jnp.where(n1 > 0, n1, 1.0), 0.0)
+                wacc = wacc.at[:, i].set(w[:, 0])
+                accmask = accmask.at[i].set(ok.astype(dtype))
+                flags.append(ok)
+                cols.append(w)
+            okv = jnp.stack([f for f in flags])
+            # capacity limit: never exceed k_limit columns
+            prior = jnp.cumsum(okv.astype(jnp.int32)) - okv.astype(jnp.int32)
+            okv = okv & (st.k + prior < k_limit)
+            wacc = wacc * okv[None, :].astype(dtype)
+            # compact accepted columns to the front (stable)
+            perm = jnp.argsort(~okv, stable=True)
+            wacc = wacc[:, perm]
+            n_acc = jnp.sum(okv).astype(jnp.int32)
+            v = jax.lax.dynamic_update_slice(st.V, wacc, (jnp.int32(0), st.k))
+            return st._replace(V=v, w_start=st.k, n_new=n_acc,
+                               k=st.k + n_acc)
+
+        def expand(st: SolverState, cands) -> SolverState:
+            w = cands
+            if inv_a is not None and opt.uses_inverse_on_expand:
+                wi = inv_a(w)
+                if opt.expansion_doubles:
+                    w = jnp.concatenate([w, wi], axis=1)
+                else:
+                    w = wi
+            return orthonormal_append(st, w)
+
+        # -------------------- one full iteration --------------------
+        @highest_precision
+        def iterate(st: SolverState) -> SolverState:
+            st = jax.lax.cond(st.n_new > 0, gram_update, lambda s: s, st)
+            st = project_solve(st)
+            st, res_abs, cands = lanczos(st)
+            rel = res_abs / r0sq
+            record = (st.iter_since_restart > 0) | (st.iter == 0)
+            resvec = st.resvec.at[st.iter].set(rel)
+            recvec = st.recvec.at[st.iter].set(record)
+            isr = st.iter_since_restart + 1
+            it1 = st.iter + 1
+
+            conv_now = rel < tol
+            # C++ exit structure (LyapunovSolver.hpp:224-242): when the
+            # tolerance is first reached and space minimization is on, fall
+            # through to the restart instead of breaking - even when the
+            # space is full.
+            will_minimize = conv_now & (~st.converged) \
+                & opt.restart_upon_convergence
+            space_full = st.k >= k_limit
+            done = (conv_now & ~will_minimize) | (it1 >= maxit) \
+                | (space_full & ~will_minimize)
+            status = jnp.where(conv_now, jnp.int32(0), jnp.int32(-1))
+            converged = st.converged | conv_now
+
+            do_restart = (~done) & (
+                ((st.iter == 0) & opt.restart_upon_start)
+                | ((restart_iterations > 0) & (isr >= restart_iterations))
+                | ((restart_size > 0) & (st.k >= restart_size))
+                | (conv_now & (~st.reduced)
+                   & opt.restart_upon_convergence))
+            reduced = jnp.where(do_restart, converged, st.reduced)
+
+            st = st._replace(res=rel, resvec=resvec, recvec=recvec,
+                             converged=converged, reduced=reduced,
+                             iter=it1, iter_since_restart=isr,
+                             done=done, status=jnp.where(done, status,
+                                                         jnp.int32(1)))
+
+            def do_restart_fn(args):
+                s, _ = args
+                return restart(s)
+
+            def do_expand_fn(args):
+                s, c = args
+                return jax.lax.cond(
+                    s.done, lambda a: a[0],
+                    lambda a: expand(a[0], a[1]), (s, c))
+
+            st = jax.lax.cond(do_restart, do_restart_fn, do_expand_fn,
+                              (st, cands))
+            return st
+
+        return iterate
+
+
+def _host_orthonormalize(w, nullspace, m_op, drop_tol):
+    """Orthonormalize columns (optionally in the M-inner product, with
+    nullspace deflation), dropping dependent columns.  Host-side helper
+    for the initial space; shapes may shrink (static thereafter)."""
+    w = jnp.asarray(w)
+    if w.ndim == 1:
+        w = w[:, None]
+    cols = []
+
+    def ip(x):
+        return m_op.matmat(x) if m_op is not None else x
+
+    for i in range(w.shape[1]):
+        v = w[:, i:i + 1]
+        n0 = float(jnp.linalg.norm(v))
+        if n0 == 0.0:
+            continue
+        v = v / n0
+        for _ in range(2):
+            if nullspace is not None:
+                v = v - nullspace @ (nullspace.T @ ip(v))
+            for c in cols:
+                v = v - c @ (c.T @ ip(v))
+        if m_op is not None:
+            n1 = float(jnp.sqrt(jnp.maximum((v.T @ m_op.matmat(v))[0, 0], 0)))
+        else:
+            n1 = float(jnp.linalg.norm(v))
+        if n1 < drop_tol:
+            continue
+        cols.append(v / n1)
+    if not cols:
+        raise ValueError("initial space is empty after orthogonalization")
+    return jnp.concatenate(cols, axis=1)
+
+
+def solve(a, b, m=None, maxit=None, tol=None, options=None, compiled=False,
+          **opt_kwargs):
+    """Functional front-end mirroring MATLAB
+    ``[V,T,res,iter,resvec,timevec,restart_data] = RAILSsolver(A,M,B,...)``
+    with the argument order (A, B, M) of the C++ Solver ctor.
+
+    Returns (V, T, info).
+    """
+    if options is None:
+        if maxit is not None:
+            opt_kwargs["maxit"] = maxit
+        if tol is not None:
+            opt_kwargs["tol"] = tol
+        options = SolverOptions(**opt_kwargs)
+    solver = LyapunovSolver(a, b, m, options)
+    return solver.solve(compiled=compiled)

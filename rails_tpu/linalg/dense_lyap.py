@@ -1,0 +1,217 @@
+"""Dense (projected) continuous-time Lyapunov solvers, TPU-native.
+
+Solves the k-by-k dense equation
+
+    A @ X @ E' + E @ X @ A' + C = 0        (E = I when e is None)
+
+which is the role SLICOT's ``sb03md`` (standard, /root/reference/src/
+SlicotWrapper.cpp:8-49) and ``sg03ad`` (generalized, /root/reference/matlab/
+mex/lyap.c:55-84) play in the reference.  The reference calls LAPACK/SLICOT
+Fortran; on TPU there is no LAPACK Schur, so each method here is a pure-JAX,
+jittable kernel built from MXU-friendly primitives:
+
+- ``eigh``: symmetric-A fast path.  ``A = Q diag(w) Q'`` then
+  ``X = -Q ((Q'CQ) / (w_i + w_j)) Q'``.  One symmetric eigendecomposition +
+  three matmuls; the method of choice for dissipative/self-adjoint problems
+  (2D Laplacian benchmarks).  Generalized E (SPD) handled by Cholesky
+  congruence, keeping symmetry.
+- ``schur``: general nonsymmetric A.  Complex Schur decomposition computed
+  by our own Hessenberg + shifted-QR iteration (see ``schur_qr.py``),
+  followed by Bartels-Stewart back-substitution on the triangular factor.
+  This matches sb03md's capability envelope (indefinite, non-Hurwitz A, as
+  exercised by /root/reference/test/LyapunovSolver_test.cpp:181-200).
+- ``sign``: Newton iteration for the matrix sign function - pure matmul +
+  inverse, quadratically convergent, the fastest TPU path for Hurwitz A.
+- ``kron``: O(k^6) Kronecker linear solve; robust oracle and small-k
+  fallback.
+
+All methods accept an optional nonsingular ``e`` and reduce the generalized
+equation to standard form (E^{-1} transform, or Cholesky congruence for the
+``eigh`` path), avoiding any need for a QZ decomposition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from rails_tpu.linalg.schur_qr import complex_schur
+from rails_tpu.utils.dtypes import complex_dtype_for, highest_precision
+
+__all__ = ["lyap", "lyap_residual"]
+
+
+def _sym(x):
+    return 0.5 * (x + x.T.conj() if jnp.iscomplexobj(x) else x + x.T)
+
+
+def _reduce_generalized(a, c, e, assume_e_spd: bool):
+    """Reduce A X E' + E X A' + C = 0 to standard form At X̃ + X̃ At' + Ct = 0.
+
+    Returns (at, ct, back) where ``back(y)`` maps the solution of the
+    standard equation back to X.
+
+    - SPD path (Cholesky congruence): E = L L', At = L^{-1} A L^{-T},
+      Ct = L^{-1} C L^{-T}, X = L^{-T} Y L^{-1}.  Preserves symmetry of A.
+    - General path: At = E^{-1} A, Ct = E^{-1} C E^{-T}, X = Y unchanged.
+    """
+    if assume_e_spd:
+        l = jnp.linalg.cholesky(e)
+        at = jax.scipy.linalg.solve_triangular(l, a, lower=True)
+        at = jax.scipy.linalg.solve_triangular(l, at.T, lower=True).T
+        ct = jax.scipy.linalg.solve_triangular(l, c, lower=True)
+        ct = jax.scipy.linalg.solve_triangular(l, ct.T, lower=True).T
+
+        def back(y):
+            x = jax.scipy.linalg.solve_triangular(l, y, lower=True, trans="T")
+            x = jax.scipy.linalg.solve_triangular(l, x.T, lower=True, trans="T").T
+            return x
+
+        return at, _sym(ct), back
+
+    at = jnp.linalg.solve(e, a)
+    ct = jnp.linalg.solve(e, jnp.linalg.solve(e, c).T).T
+    return at, _sym(ct), lambda y: y
+
+
+def _lyap_eigh(a, c):
+    """X for symmetric A: one eigh + 3 matmuls, MXU speed-of-light."""
+    w, q = jnp.linalg.eigh(_sym(a))
+    ct = q.T @ c @ q
+    denom = w[:, None] + w[None, :]
+    # Guard: the equation is only solvable if w_i + w_j != 0; a zero denom
+    # means a singular Lyapunov operator.  We clamp to keep the kernel
+    # total; callers can check the residual.
+    eps = jnp.finfo(denom.dtype).tiny * 1e8
+    denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
+    xt = -ct / denom
+    return q @ xt @ q.T
+
+
+def _lyap_schur(a, c, max_sweeps: Optional[int] = None):
+    """General A via complex Schur + Bartels-Stewart back-substitution.
+
+    A = U T U^H (T upper triangular, U unitary).  With A real,
+    A' = A^H = U T^H U^H, so the equation becomes
+
+        T Y + Y T^H = -U^H C U,   Y = U^H X U,   X = Re(U Y U^H).
+
+    Back-substitution runs from the last column to the first:
+
+        (T + conj(T[j,j]) I) y_j = g_j - sum_{i>j} conj(T[j,i]) y_i.
+    """
+    k = a.shape[0]
+    cdtype = complex_dtype_for(a.dtype)
+    t, u = complex_schur(a.astype(cdtype), max_sweeps=max_sweeps)
+    g = -(u.conj().T @ c.astype(cdtype) @ u)
+
+    eye = jnp.eye(k, dtype=cdtype)
+
+    def col_step(j, y):
+        # rhs_j = g[:, j] - Y @ conj(T[j, :]) restricted to columns > j
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+        tj = jnp.where(col_ids > j, jnp.conj(t[j, :]), 0.0)
+        rhs = g[:, j] - y @ tj
+        yj = jnp.linalg.solve(t + jnp.conj(t[j, j]) * eye, rhs)
+        return y.at[:, j].set(yj)
+
+    y0 = jnp.zeros((k, k), dtype=cdtype)
+    # iterate j = k-1 down to 0
+    y = jax.lax.fori_loop(0, k, lambda i, y: col_step(k - 1 - i, y), y0)
+    x = u @ y @ u.conj().T
+    return _sym(jnp.real(x).astype(a.dtype))
+
+
+def _lyap_sign(a, c, iterations: int = 30):
+    """Newton sign iteration: Hurwitz A only; all matmul/inverse (MXU).
+
+    Z_{j+1} = (s Z_j + (s Z_j)^{-1}) / 2 with determinant scaling s,
+    Q_{j+1} = (s Q_j + (s Z_j)^{-T} Q_j (s Z_j)^{-1}) / 2.
+    At convergence Z -> sign(A) = -I and X = Q_inf / 2.
+    """
+    k = a.shape[0]
+
+    def body(_, zq):
+        z, q = zq
+        zinv = jnp.linalg.inv(z)
+        # determinant scaling accelerates early iterations
+        _, logdet = jnp.linalg.slogdet(z)
+        s = jnp.exp(-logdet / k)
+        s = jnp.where(jnp.isfinite(s) & (s > 0), s, 1.0)
+        z_new = 0.5 * (s * z + zinv / s)
+        q_new = 0.5 * (s * q + (zinv @ q @ zinv.T) / s)
+        return z_new, _sym(q_new)
+
+    z, q = jax.lax.fori_loop(0, iterations, body, (a, c))
+    return _sym(0.5 * q)
+
+
+def _lyap_kron(a, c, e=None):
+    """Row-major Kronecker solve: (a (x) e + e (x) a) rvec(x) = -rvec(c)."""
+    k = a.shape[0]
+    if e is None:
+        e = jnp.eye(k, dtype=a.dtype)
+    big = jnp.kron(a, e) + jnp.kron(e, a)
+    x = jnp.linalg.solve(big, -c.reshape(-1))
+    return _sym(x.reshape(k, k))
+
+
+@functools.partial(jax.jit, static_argnames=("method", "assume_e_spd", "sign_iterations"))
+@highest_precision
+def lyap(
+    a: jax.Array,
+    c: jax.Array,
+    e: Optional[jax.Array] = None,
+    *,
+    method: str = "schur",
+    assume_e_spd: bool = False,
+    sign_iterations: int = 30,
+) -> jax.Array:
+    """Solve A X E' + E X A' + C = 0 for symmetric X.
+
+    Role of SLICOT sb03md / sg03ad in the reference (dense_solve at
+    /root/reference/src/LyapunovSolver.hpp:348-365; generalized path at
+    /root/reference/matlab/RAILSsolver.m:383).
+
+    Args:
+      a: (k, k) real matrix.
+      c: (k, k) real symmetric matrix.
+      e: optional (k, k) nonsingular matrix (generalized equation).
+      method: 'schur' (general A), 'eigh' (symmetric A), 'sign'
+        (Hurwitz A), or 'kron' (small-k robust fallback / oracle).
+      assume_e_spd: use Cholesky congruence for E (preserves symmetry of A,
+        enabling the eigh path for symmetric pencils).
+    """
+    a = jnp.asarray(a)
+    c = jnp.asarray(c)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"a must be square, got {a.shape}")
+
+    if method == "kron":
+        return _lyap_kron(a, c, e)
+
+    back = lambda y: y
+    if e is not None:
+        a, c, back = _reduce_generalized(a, c, e, assume_e_spd)
+
+    if method == "eigh":
+        x = _lyap_eigh(a, c)
+    elif method == "schur":
+        x = _lyap_schur(a, c)
+    elif method == "sign":
+        x = _lyap_sign(a, c, iterations=sign_iterations)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return back(x)
+
+
+def lyap_residual(a, x, c, e=None):
+    """|| A X E' + E X A' + C ||_F — correctness check used by the tests."""
+    if e is None:
+        r = a @ x + x @ a.T + c
+    else:
+        r = a @ x @ e.T + e @ x @ a.T + c
+    return jnp.linalg.norm(r)

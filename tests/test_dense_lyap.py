@@ -1,0 +1,162 @@
+"""Dense Lyapunov kernel tests.
+
+Oracles: scipy.linalg.solve_lyapunov / solve_sylvester and the Kronecker
+solve.  Mirrors the reference's SLICOT shim tests
+(/root/reference/test/SlicotWrapper_test.cpp:7-38: 2x2 known answer to
+1e-14) and the StlDenseSolver property tests
+(/root/reference/test/LyapunovSolver_test.cpp:61-116: random *indefinite*
+A, residual ~ 0).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from rails_tpu.linalg.dense_lyap import lyap, lyap_residual
+from rails_tpu.linalg.schur_qr import complex_schur, hessenberg
+
+
+def random_problem(rng, n, sym=False, hurwitz=False):
+    a = rng.uniform(-1, 1, (n, n))
+    if sym:
+        a = 0.5 * (a + a.T)
+    if hurwitz:
+        a = a - (np.max(np.real(np.linalg.eigvals(a))) + 0.5) * np.eye(n)
+    b = rng.uniform(-1, 1, (n, 1))
+    c = -(b @ b.T)  # solve A X + X A' = C  with C = -BB'
+    return a, -c  # lyap solves A X + X A' + C2 = 0 with C2 = BB'
+
+
+class TestHessenberg:
+    def test_reduction(self, rng):
+        a = rng.uniform(-1, 1, (12, 12))
+        h, q = hessenberg(jnp.asarray(a))
+        h, q = np.asarray(h), np.asarray(q)
+        assert np.allclose(q @ h @ q.T.conj(), a, atol=1e-12)
+        assert np.allclose(q @ q.T.conj(), np.eye(12), atol=1e-12)
+        assert np.allclose(np.tril(h, -2), 0, atol=1e-12)
+
+    def test_complex(self, rng):
+        a = rng.uniform(-1, 1, (9, 9)) + 1j * rng.uniform(-1, 1, (9, 9))
+        h, q = hessenberg(jnp.asarray(a))
+        h, q = np.asarray(h), np.asarray(q)
+        assert np.allclose(q @ h @ q.T.conj(), a, atol=1e-12)
+        assert np.allclose(np.tril(h, -2), 0, atol=1e-12)
+
+    def test_tiny(self, rng):
+        for n in (1, 2):
+            a = rng.uniform(-1, 1, (n, n))
+            h, q = hessenberg(jnp.asarray(a))
+            assert np.allclose(np.asarray(q) @ np.asarray(h) @ np.asarray(q).T, a)
+
+
+class TestComplexSchur:
+    @pytest.mark.parametrize("n", [1, 2, 3, 8, 20, 50])
+    def test_random(self, rng, n):
+        a = rng.uniform(-1, 1, (n, n))
+        t, u = complex_schur(jnp.asarray(a).astype(jnp.complex128))
+        t, u = np.asarray(t), np.asarray(u)
+        assert np.allclose(np.tril(t, -1), 0, atol=1e-10)
+        assert np.allclose(u @ t @ u.T.conj(), a, atol=1e-10 * max(n, 1))
+        assert np.allclose(u @ u.T.conj(), np.eye(n), atol=1e-11)
+        # eigenvalues match numpy (nearest-match pairing; sorting complex
+        # conjugate pairs by (re, im) is not stable under roundoff)
+        ev = np.diag(t)
+        ev_np = np.linalg.eigvals(a)
+        dist = np.abs(ev[:, None] - ev_np[None, :])
+        assert dist.min(axis=1).max() < 1e-8
+        assert dist.min(axis=0).max() < 1e-8
+
+    def test_symmetric(self, rng):
+        a = rng.uniform(-1, 1, (16, 16))
+        a = a + a.T
+        t, u = complex_schur(jnp.asarray(a).astype(jnp.complex128))
+        ev = np.sort(np.real(np.diag(np.asarray(t))))
+        ev_np = np.sort(np.linalg.eigvalsh(a))
+        assert np.allclose(ev, ev_np, atol=1e-10)
+
+    def test_defective(self):
+        # Jordan-ish block: repeated eigenvalues, defective
+        a = np.array([[2.0, 1.0, 0.0], [0.0, 2.0, 1.0], [0.0, 0.0, 2.0]])
+        t, u = complex_schur(jnp.asarray(a).astype(jnp.complex128))
+        t, u = np.asarray(t), np.asarray(u)
+        assert np.allclose(u @ t @ u.T.conj(), a, atol=1e-10)
+
+
+class TestLyap:
+    def test_known_answer_2x2(self):
+        # Reference known-answer problem (test/LyapunovSolverEpetra_test.cpp:50-107):
+        # A = [0 1; -5 -5], B = -I -> X = [0.62 -0.5; -0.5 0.6] to 1e-14
+        a = jnp.array([[0.0, 1.0], [-5.0, -5.0]])
+        c = jnp.eye(2)  # B=-I, BB' = I
+        x_expected = np.array([[0.62, -0.5], [-0.5, 0.6]])
+        for method in ("schur", "sign", "kron"):
+            x = lyap(a, c, method=method)
+            assert np.allclose(np.asarray(x), x_expected, atol=1e-13), method
+
+    def test_scalar(self):
+        # ScalarDenseSolver (test/LyapunovSolver_test.cpp:33-44): A=2, C=-4 -> X=1
+        x = lyap(jnp.array([[2.0]]), jnp.array([[-4.0]]), method="schur")
+        assert np.allclose(np.asarray(x), 1.0, atol=1e-14)
+        x = lyap(jnp.array([[2.0]]), jnp.array([[-4.0]]), method="kron")
+        assert np.allclose(np.asarray(x), 1.0, atol=1e-14)
+
+    @pytest.mark.parametrize("n", [2, 5, 20, 40])
+    def test_random_indefinite_schur(self, rng, n):
+        # mirrors StlDenseSolver: random (indefinite!) A
+        a, c = random_problem(rng, n)
+        x = lyap(jnp.asarray(a), jnp.asarray(c), method="schur")
+        res = float(lyap_residual(jnp.asarray(a), x, jnp.asarray(c)))
+        assert res < 1e-9 * n
+        x_sp = scipy.linalg.solve_lyapunov(a, -c)
+        assert np.allclose(np.asarray(x), x_sp, atol=1e-7)
+
+    @pytest.mark.parametrize("n", [3, 10, 30])
+    def test_symmetric_eigh(self, rng, n):
+        a, c = random_problem(rng, n, sym=True)
+        x = lyap(jnp.asarray(a), jnp.asarray(c), method="eigh")
+        res = float(lyap_residual(jnp.asarray(a), x, jnp.asarray(c)))
+        assert res < 1e-10 * n
+
+    @pytest.mark.parametrize("n", [3, 10, 30])
+    def test_hurwitz_sign(self, rng, n):
+        a, c = random_problem(rng, n, hurwitz=True)
+        x = lyap(jnp.asarray(a), jnp.asarray(c), method="sign")
+        res = float(lyap_residual(jnp.asarray(a), x, jnp.asarray(c)))
+        assert res < 1e-9 * n
+
+    @pytest.mark.parametrize("method", ["schur", "kron"])
+    def test_generalized(self, rng, method):
+        n = 12
+        a, c = random_problem(rng, n)
+        e = rng.uniform(-1, 1, (n, n)) + 3 * np.eye(n)
+        x = lyap(jnp.asarray(a), jnp.asarray(c), jnp.asarray(e), method=method)
+        res = float(lyap_residual(jnp.asarray(a), x, jnp.asarray(c), jnp.asarray(e)))
+        assert res < 1e-8
+
+    def test_generalized_spd_eigh(self, rng):
+        # symmetric A + SPD E via Cholesky congruence keeps the eigh path valid
+        n = 15
+        a, c = random_problem(rng, n, sym=True)
+        w = rng.uniform(0.5, 2.0, n)
+        e = np.diag(w)  # like the reference's random diagonal mass matrix
+        x = lyap(
+            jnp.asarray(a), jnp.asarray(c), jnp.asarray(e),
+            method="eigh", assume_e_spd=True,
+        )
+        res = float(lyap_residual(jnp.asarray(a), x, jnp.asarray(c), jnp.asarray(e)))
+        assert res < 1e-9
+
+    def test_matches_kron_oracle(self, rng):
+        n = 8
+        a, c = random_problem(rng, n)
+        e = rng.uniform(-1, 1, (n, n)) + 3 * np.eye(n)
+        x_schur = lyap(jnp.asarray(a), jnp.asarray(c), jnp.asarray(e), method="schur")
+        x_kron = lyap(jnp.asarray(a), jnp.asarray(c), jnp.asarray(e), method="kron")
+        assert np.allclose(np.asarray(x_schur), np.asarray(x_kron), atol=1e-8)
+
+    def test_symmetry_of_solution(self, rng):
+        a, c = random_problem(rng, 11)
+        x = np.asarray(lyap(jnp.asarray(a), jnp.asarray(c), method="schur"))
+        assert np.allclose(x, x.T, atol=1e-12)
