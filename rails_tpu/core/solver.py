@@ -156,12 +156,22 @@ class LyapunovSolver:
 
         with timer("Solver", "init"):
             state, static = self._init_state(m, dtype)
-        iterate = self._build_iterate(static)
+        cap_kb, s_slot = static["cap_kb"], static["s_slot"]
+
+        def step_for(kb):
+            st = dict(static, kb=kb, k_limit=min(m, kb - s_slot))
+            key = (kb, opt.maxit)
+            if key not in self._engine_cache:
+                self._engine_cache[key] = jax.jit(self._build_iterate(st))
+            return self._engine_cache[key]
 
         t0 = time.perf_counter()
         timevec = []
         if compiled:
             with timer("Solver", "while_loop"):
+                state = self._grow_state(state, cap_kb)
+                iterate = step_for(cap_kb)
+
                 def cond(st):
                     return ~st.done
 
@@ -170,8 +180,16 @@ class LyapunovSolver:
                 state.res.block_until_ready()
             timevec = [time.perf_counter() - t0] * int(state.iter)
         else:
-            step = jax.jit(iterate)
+            kb = static["kb"]
+            step = step_for(kb)
             while True:
+                # grow the capacity bucket before the step would clip
+                # (reference "Resize spaces", LyapunovSolver.hpp:309-332)
+                if kb < cap_kb and int(state.k) + 2 * s_slot > kb - s_slot:
+                    with timer("Solver", "resize"):
+                        kb = min(cap_kb, _round_up(2 * kb, 8))
+                        state = self._grow_state(state, kb)
+                        step = step_for(kb)
                 with timer("Solver", "iterate"):
                     state = step(state)
                     done = bool(state.done)
@@ -295,7 +313,11 @@ class LyapunovSolver:
         s_slot = s_top * (2 if opt.expansion_doubles else 1)
         lanczos_l = max(opt.effective_lanczos, s_top + 1)
 
-        # padded buffer size (see module docstring)
+        # Padded buffer sizing (see module docstring).  ``cap_kb`` is the
+        # ceiling; the solve starts from a small bucket and grows
+        # geometrically (the reference's +100-column capacity growth,
+        # LyapunovSolver.hpp:309-332, re-imagined as recompile-on-growth:
+        # per-iteration cost then tracks the active k instead of the cap).
         if opt.restart_size > 0:
             cap = min(m, opt.restart_size + 2 * s_slot)
         else:
@@ -303,7 +325,9 @@ class LyapunovSolver:
         if opt.max_space is not None:
             cap = min(cap, opt.max_space)
         cap = max(cap, k0 + s_slot)
-        kb = min(_round_up(cap, 8), m + s_slot) + s_slot
+        cap_kb = min(_round_up(cap, 8), m + s_slot) + s_slot
+        kb = min(cap_kb, _round_up(max(k0 + s_slot, 17 * s_slot, 48), 8)
+                 + s_slot)
 
         has_m = self.M is not None
         mortho = opt.ortho == "M"
@@ -349,13 +373,33 @@ class LyapunovSolver:
         )
         lyap_method, e_spd = self._resolve_lyap_method()
         static = dict(
-            m=m, p=p, kb=kb, s_top=s_top, s_slot=s_slot, L=lanczos_l,
-            has_m=has_m, mortho=mortho, dtype=dtype,
+            m=m, p=p, kb=kb, cap_kb=cap_kb, s_top=s_top, s_slot=s_slot,
+            L=lanczos_l, has_m=has_m, mortho=mortho, dtype=dtype,
             lyap_method=lyap_method, e_spd=e_spd,
             nullspace=nullspace, r0sq=r0sq,
             k_limit=min(m, kb - s_slot),
         )
         return state, static
+
+    @staticmethod
+    def _grow_state(state: SolverState, kb_new: int) -> SolverState:
+        """Zero-pad every k-indexed buffer to a larger bucket size."""
+        kb_old = state.VAV.shape[0]
+        grow = kb_new - kb_old
+        if grow <= 0:
+            return state
+
+        def pad_cols(x):
+            return None if x is None else jnp.pad(x, ((0, 0), (0, grow)))
+
+        def pad_sq(x):
+            return None if x is None else jnp.pad(x, ((0, grow), (0, grow)))
+
+        return state._replace(
+            V=pad_cols(state.V), AV=pad_cols(state.AV), BV=pad_cols(state.BV),
+            MV=pad_cols(state.MV), VAV=pad_sq(state.VAV),
+            VBV=pad_sq(state.VBV), VMV=pad_sq(state.VMV),
+            T=pad_sq(state.T))
 
     # ------------------------------------------------------------------
     # the jitted iteration
