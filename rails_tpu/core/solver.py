@@ -112,10 +112,11 @@ class LyapunovSolver:
     """
 
     def __init__(self, a, b, m=None, options: Optional[SolverOptions] = None,
-                 **opt_kwargs):
+                 mesh=None, **opt_kwargs):
         self.options = options or SolverOptions(**opt_kwargs)
         self.A = as_operator(a)
         self.M = as_operator(m) if m is not None else None
+        self.mesh = mesh
         b_arr = b
         if isinstance(b, LinearOperator):
             self.B = b
@@ -126,6 +127,16 @@ class LyapunovSolver:
             if self._b_array.ndim == 1:
                 self._b_array = self._b_array[:, None]
             self._b_is_operator = False
+        if mesh is not None:
+            from rails_tpu.parallel.sharded import (
+                shard_array_rows, shard_operator)
+            self.A = shard_operator(self.A, mesh)
+            if self.M is not None:
+                self.M = shard_operator(self.M, mesh)
+            if self._b_is_operator:
+                self.B = shard_operator(self.B, mesh)
+            else:
+                self._b_array = shard_array_rows(self._b_array, mesh)
         self._engine_cache = {}
 
     # ------------------------------------------------------------------
@@ -156,6 +167,9 @@ class LyapunovSolver:
 
         with timer("Solver", "init"):
             state, static = self._init_state(m, dtype)
+            if self.mesh is not None:
+                from rails_tpu.parallel.sharded import shard_state
+                state = shard_state(state, self.mesh)
         cap_kb, s_slot = static["cap_kb"], static["s_slot"]
 
         def step_for(kb):
@@ -189,6 +203,9 @@ class LyapunovSolver:
                     with timer("Solver", "resize"):
                         kb = min(cap_kb, _round_up(2 * kb, 8))
                         state = self._grow_state(state, kb)
+                        if self.mesh is not None:
+                            from rails_tpu.parallel.sharded import shard_state
+                            state = shard_state(state, self.mesh)
                         step = step_for(kb)
                 with timer("Solver", "iterate"):
                     state = step(state)

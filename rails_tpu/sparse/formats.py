@@ -1,0 +1,235 @@
+"""Device sparse-matrix formats, TPU-first.
+
+The reference's distributed sparse matrix is row-partitioned CSR
+(Epetra_CrsMatrix).  CSR's per-row indirection is the wrong shape for a
+vector machine, so the device formats here are chosen for the VPU/MXU:
+
+- **DIA (diagonal)**: offsets + dense diagonal data.  The PDE/ocean
+  matrices the reference targets (2D Laplacian stencils, structured-grid
+  Jacobians like DataErik) have a handful of distinct diagonals; SpMM
+  becomes a short unrolled sum of shifted fused multiply-adds - no
+  gathers, HBM-bandwidth-bound, trivially row-shardable (the shift halo
+  becomes a neighbor exchange).
+- **ELL (padded row-wise)**: column indices + values padded to the max
+  row degree.  SpMM is one gather of V rows + a weighted reduction.
+  Handles general sparsity (sprand tests, irregular meshes).
+
+``sparse_from_*`` picks DIA automatically when the distinct-offset count
+is small (the structured case), else ELL.  Host-side analysis uses
+scipy.sparse; device payloads are plain jnp arrays registered as pytree
+leaves so operators pass through jit/sharding like any array.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+
+from rails_tpu.operators import LinearOperator
+
+__all__ = [
+    "DiaMatrix",
+    "EllMatrix",
+    "SparseOperator",
+    "sparse_from_dense",
+    "sparse_from_scipy",
+    "sparse_from_csr",
+]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class DiaMatrix:
+    """offsets[d] static python ints; data[d, m]: data[d, i] multiplies
+    x[i + offsets[d]] into y[i]."""
+
+    data: jax.Array                  # (d, m)
+    offsets: Tuple[int, ...]         # static
+    shape: Tuple[int, int]           # static
+
+    def matmat(self, x: jax.Array) -> jax.Array:
+        m, n = self.shape
+        y = jnp.zeros((m,) + x.shape[1:], dtype=x.dtype)
+        for idx, off in enumerate(self.offsets):
+            diag = self.data[idx]
+            if off >= 0:
+                lo, hi = 0, min(m, n - off)
+                if hi <= lo:
+                    continue
+                contrib = diag[lo:hi, None] * x[lo + off:hi + off]
+                y = y.at[lo:hi].add(contrib)
+            else:
+                lo, hi = -off, min(m, n - off)
+                if hi <= lo:
+                    continue
+                contrib = diag[lo:hi, None] * x[lo + off:hi + off]
+                y = y.at[lo:hi].add(contrib)
+        return y
+
+    def transpose(self) -> "DiaMatrix":
+        """A'[j, i]: diagonal o of A becomes diagonal -o of A', with data
+        re-indexed so data'[-o][i] = data[o][i - o]."""
+        m, n = self.shape
+        new_offsets = tuple(-o for o in self.offsets)
+        rolled = []
+        for idx, off in enumerate(self.offsets):
+            d = self.data[idx]
+            rolled.append(jnp.roll(d, off))
+        return DiaMatrix(jnp.stack(rolled), new_offsets, (n, m))
+
+    def tree_flatten(self):
+        return (self.data,), (self.offsets, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], aux[0], aux[1])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class EllMatrix:
+    """Padded row-wise format: y[i] = sum_l values[i, l] * x[indices[i, l]];
+    padding slots have values == 0 and indices clamped in-range."""
+
+    indices: jax.Array               # (m, L) int32
+    values: jax.Array                # (m, L)
+    shape: Tuple[int, int]           # static
+
+    def matmat(self, x: jax.Array) -> jax.Array:
+        gathered = jnp.take(x, self.indices, axis=0)   # (m, L, s)
+        return jnp.einsum("ml,mls->ms", self.values, gathered)
+
+    def tree_flatten(self):
+        return (self.indices, self.values), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
+class SparseOperator(LinearOperator):
+    """LinearOperator over a DIA/ELL payload, with a transposed payload for
+    rmatmat (built host-side at construction)."""
+
+    def __init__(self, fwd, bwd, *, is_symmetric=False, is_spd=False,
+                 is_hurwitz=False, nnz: int = 0):
+        self.fwd = fwd
+        self.bwd = bwd
+        self.is_symmetric = is_symmetric
+        self.is_spd = is_spd
+        self.is_hurwitz = is_hurwitz
+        self.nnz = nnz
+
+    @property
+    def shape(self):
+        return self.fwd.shape
+
+    @property
+    def format(self) -> str:
+        return "dia" if isinstance(self.fwd, DiaMatrix) else "ell"
+
+    def matmat(self, x):
+        return self.fwd.matmat(x)
+
+    def rmatmat(self, x):
+        if self.bwd is None:
+            return self.fwd.matmat(x)  # symmetric
+        return self.bwd.matmat(x)
+
+    def to_dense(self):
+        return self.matmat(jnp.eye(self.shape[1]))
+
+    def tree_flatten(self):
+        return (self.fwd, self.bwd), (self.is_symmetric, self.is_spd,
+                                      self.is_hurwitz, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        obj = cls.__new__(cls)
+        obj.fwd, obj.bwd = children
+        obj.is_symmetric, obj.is_spd, obj.is_hurwitz, obj.nnz = aux
+        return obj
+
+
+def _dia_from_scipy(a: sp.spmatrix, dtype) -> DiaMatrix:
+    m, n = a.shape
+    adia = a.todia()
+    offsets = tuple(int(o) for o in adia.offsets)
+    # scipy dia: data[k, j] is the value at column j on diagonal k, i.e.
+    # entry (j - offset, j).  Our convention: data[k, i] multiplies
+    # x[i + offset] into y[i], i.e. entry (i, i + offset) -> data[k, i] =
+    # scipy_data[k, i + offset].
+    data = np.zeros((len(offsets), m), dtype=dtype)
+    sd = adia.data
+    for k, off in enumerate(offsets):
+        for i in range(max(0, -off), min(m, n - off)):
+            data[k, i] = sd[k, i + off]
+    return DiaMatrix(jnp.asarray(data), offsets, (m, n))
+
+
+def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
+    csr = a.tocsr()
+    m, n = csr.shape
+    deg = np.diff(csr.indptr)
+    ell_l = max(int(deg.max()), 1) if m else 1
+    indices = np.zeros((m, ell_l), dtype=np.int32)
+    values = np.zeros((m, ell_l), dtype=dtype)
+    for i in range(m):
+        lo, hi = csr.indptr[i], csr.indptr[i + 1]
+        cnt = hi - lo
+        indices[i, :cnt] = csr.indices[lo:hi]
+        values[i, :cnt] = csr.data[lo:hi]
+    return EllMatrix(jnp.asarray(indices), jnp.asarray(values), (m, n))
+
+
+def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
+                      dia_max_offsets: int = 48, dtype=None,
+                      **tags) -> SparseOperator:
+    """Build a device SparseOperator from a scipy sparse matrix.
+
+    fmt: 'auto' | 'dia' | 'ell'.  'auto' picks DIA when the matrix has at
+    most ``dia_max_offsets`` distinct diagonals with acceptable fill.
+    """
+    if dtype is None:
+        dtype = jnp.asarray(0.0).dtype
+    a = a.tocsr()
+    m, n = a.shape
+    nnz = int(a.nnz)
+    if fmt == "auto":
+        coo = a.tocoo()
+        n_offsets = len(np.unique(coo.col - coo.row))
+        fmt = "dia" if n_offsets <= dia_max_offsets else "ell"
+    sym = bool(tags.get("is_symmetric", False))
+    if not sym and nnz and m == n and (a != a.T).nnz == 0:
+        sym = True
+        tags["is_symmetric"] = True
+    if fmt == "dia":
+        fwd = _dia_from_scipy(a, dtype)
+        bwd = None if sym else _dia_from_scipy(a.T.tocsr(), dtype)
+    elif fmt == "ell":
+        fwd = _ell_from_scipy(a, dtype)
+        bwd = None if sym else _ell_from_scipy(a.T.tocsr(), dtype)
+    else:
+        raise ValueError(f"unknown sparse format {fmt!r}")
+    return SparseOperator(fwd, bwd, nnz=nnz, **tags)
+
+
+def sparse_from_dense(a, **kw) -> SparseOperator:
+    return sparse_from_scipy(sp.csr_matrix(np.asarray(a)), **kw)
+
+
+def sparse_from_csr(indptr, indices, data, shape=None, **kw) -> SparseOperator:
+    """From raw CSR arrays (the DataErik on-disk layout, see rails_tpu.io)."""
+    indptr = np.asarray(indptr)
+    if shape is None:
+        m = len(indptr) - 1
+        shape = (m, m)
+    csr = sp.csr_matrix((np.asarray(data), np.asarray(indices), indptr),
+                        shape=shape)
+    return sparse_from_scipy(csr, **kw)

@@ -1,0 +1,154 @@
+"""Sparse format tests + the backend contract suite.
+
+The contract tests play the role of the reference's generic typed-test
+suites (GenericOperatorWrapper_test.cpp / GenericMultiVectorWrapper_test
+.cpp): every operator backend must behave identically on the same
+matrix, which is what guarantees the solver can host any backend.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import rails_tpu
+from rails_tpu.models.problems import laplacian2, random_sparse
+from rails_tpu.sparse.formats import (
+    sparse_from_dense,
+    sparse_from_scipy,
+    sparse_from_csr,
+)
+
+
+def make_backends(a_dense, **tags):
+    """The same matrix as every operator backend."""
+    return {
+        "dense": rails_tpu.DenseOperator(jnp.asarray(a_dense), **tags),
+        "dia": sparse_from_dense(a_dense, fmt="dia", **tags),
+        "ell": sparse_from_dense(a_dense, fmt="ell", **tags),
+        "callable": rails_tpu.CallableOperator(
+            lambda x, a=jnp.asarray(a_dense): a @ x,
+            a_dense.shape,
+            rfn=lambda x, a=jnp.asarray(a_dense): a.T @ x, **tags),
+    }
+
+
+class TestFormatCorrectness:
+    @pytest.mark.parametrize("kind", ["tridiag", "laplace", "random",
+                                      "rect_tall", "rect_wide"])
+    def test_matmat_matches_dense(self, rng, kind):
+        if kind == "tridiag":
+            a = np.diag(rng.uniform(-1, 1, 30)) \
+                + np.diag(rng.uniform(-1, 1, 29), 1) \
+                + np.diag(rng.uniform(-1, 1, 29), -1)
+        elif kind == "laplace":
+            a = laplacian2(64)
+        elif kind == "random":
+            a = random_sparse(rng, 50)
+        elif kind == "rect_tall":
+            a = np.zeros((40, 25))
+            a[rng.integers(0, 40, 60), rng.integers(0, 25, 60)] = \
+                rng.uniform(-1, 1, 60)
+        else:
+            a = np.zeros((25, 40))
+            a[rng.integers(0, 25, 60), rng.integers(0, 40, 60)] = \
+                rng.uniform(-1, 1, 60)
+        x = rng.uniform(-1, 1, (a.shape[1], 3))
+        xt = rng.uniform(-1, 1, (a.shape[0], 3))
+        for fmt in ("dia", "ell"):
+            op = sparse_from_dense(a, fmt=fmt)
+            assert np.allclose(np.asarray(op.matmat(jnp.asarray(x))),
+                               a @ x, atol=1e-12), fmt
+            assert np.allclose(np.asarray(op.rmatmat(jnp.asarray(xt))),
+                               a.T @ xt, atol=1e-12), fmt
+
+    def test_auto_format_selection(self, rng):
+        lap = sparse_from_dense(laplacian2(64))
+        assert lap.format == "dia"
+        rnd = sparse_from_dense(random_sparse(rng, 100))
+        assert rnd.format == "ell"
+
+    def test_symmetric_detection(self):
+        lap = sparse_from_dense(laplacian2(64))
+        assert lap.is_symmetric
+        assert lap.bwd is None
+
+    def test_from_csr(self, rng):
+        a = sp.random(37, 37, density=0.1, random_state=42, format="csr")
+        op = sparse_from_csr(a.indptr, a.indices, a.data)
+        x = rng.uniform(-1, 1, (37, 2))
+        assert np.allclose(np.asarray(op.matmat(jnp.asarray(x))),
+                           a @ x, atol=1e-12)
+        assert op.nnz == a.nnz
+
+    def test_under_jit(self, rng):
+        """Sparse operators are pytrees: pass through jit as arguments."""
+        a = laplacian2(64)
+        op = sparse_from_dense(a)
+
+        @jnp.vectorize
+        def _noop(x):
+            return x
+
+        import jax
+
+        @jax.jit
+        def apply(op, x):
+            return op.matmat(x)
+
+        x = jnp.asarray(rng.uniform(-1, 1, (64, 2)))
+        assert np.allclose(np.asarray(apply(op, x)), a @ np.asarray(x),
+                           atol=1e-12)
+
+
+class TestBackendContract:
+    """Identical behavior across all operator backends on one matrix
+    (GenericOperatorWrapper_test role)."""
+
+    @pytest.fixture
+    def problem(self, rng):
+        a = laplacian2(64) + np.diag(rng.uniform(0, 0.1, 64))
+        x = rng.uniform(-1, 1, (64, 4))
+        return a, x
+
+    def test_matmat_agree(self, problem):
+        a, x = problem
+        results = {name: np.asarray(op.matmat(jnp.asarray(x)))
+                   for name, op in make_backends(a).items()}
+        ref = results.pop("dense")
+        for name, r in results.items():
+            assert np.allclose(r, ref, atol=1e-12), name
+
+    def test_rmatmat_agree(self, problem):
+        a, x = problem
+        results = {name: np.asarray(op.rmatmat(jnp.asarray(x)))
+                   for name, op in make_backends(a).items()}
+        ref = results.pop("dense")
+        for name, r in results.items():
+            assert np.allclose(r, ref, atol=1e-12), name
+
+    def test_norm_agree(self, problem):
+        a, _ = problem
+        true = np.linalg.norm(a, 2)
+        for name, op in make_backends(a).items():
+            est = float(rails_tpu.operator_norm2(op, iters=100))
+            assert abs(est - true) / true < 1e-6, name
+
+    def test_solver_hosts_every_backend(self, rng, problem):
+        """The solver converges identically on every backend - the
+        reference's core architectural guarantee (same Solver template,
+        any wrapper; LyapunovSolver_test + LyapunovSolverEpetra_test)."""
+        a, _ = problem
+        a = a - 0.2 * np.eye(64)
+        b = jnp.asarray(rng.uniform(0, 1, (64, 1)))
+        results = {}
+        for name, op in make_backends(a, is_symmetric=True).items():
+            v, t, info = rails_tpu.solve(op, b, tol=1e-6, seed=7)
+            assert info.converged, name
+            results[name] = (info.iter, np.asarray(v) @ np.asarray(t)
+                             @ np.asarray(v).T)
+        iters = {name: r[0] for name, r in results.items()}
+        assert len(set(iters.values())) == 1, iters
+        xs = [r[1] for r in results.values()]
+        for xo in xs[1:]:
+            assert np.allclose(xs[0], xo, atol=1e-8)
