@@ -105,7 +105,13 @@ def _lyap_schur(a, c, max_sweeps: Optional[int] = None):
     """
     k = a.shape[0]
     cdtype = complex_dtype_for(a.dtype)
-    t, u = complex_schur(a.astype(cdtype), max_sweeps=max_sweeps)
+    # On CPU, LAPACK's Schur is available through XLA (zgees); it is the
+    # same kernel the reference uses inside sb03md.  On TPU there is no
+    # such primitive, so our own Hessenberg + shifted-QR kernel runs.
+    if jax.default_backend() == "cpu":
+        t, u = jax.lax.linalg.schur(a.astype(cdtype))
+    else:
+        t, u = complex_schur(a.astype(cdtype), max_sweeps=max_sweeps)
     g = -(u.conj().T @ c.astype(cdtype) @ u)
 
     eye = jnp.eye(k, dtype=cdtype)
@@ -115,7 +121,8 @@ def _lyap_schur(a, c, max_sweeps: Optional[int] = None):
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
         tj = jnp.where(col_ids > j, jnp.conj(t[j, :]), 0.0)
         rhs = g[:, j] - y @ tj
-        yj = jnp.linalg.solve(t + jnp.conj(t[j, j]) * eye, rhs)
+        yj = jax.scipy.linalg.solve_triangular(
+            t + jnp.conj(t[j, j]) * eye, rhs, lower=False)
         return y.at[:, j].set(yj)
 
     y0 = jnp.zeros((k, k), dtype=cdtype)
