@@ -1,0 +1,123 @@
+"""Benchmark harness - run on real TPU by the round driver.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Headline metric: DIA SpMM throughput (nnz/s) on a large 2D-Laplacian
+operator - the hot kernel of the solver (the reference's Epetra SpMM,
+BASELINE.md "SpMM nnz/s per chip at speed of light").  ``vs_baseline`` is
+the fraction of the HBM-bandwidth roofline achieved (the reference
+publishes no numbers; speed-of-light is the stated target).
+
+Secondary numbers (extra keys): end-to-end Lyapunov solve wall-clock to
+tolerance on a 2D Laplacian generalized problem, and the per-iteration
+cost breakdown.
+"""
+
+import json
+import time
+
+import numpy as np
+
+HBM_BYTES_PER_S = {
+    # peak HBM bandwidth per chip
+    "TPU v5 lite": 819e9,   # v5e
+    "TPU v4": 1228e9,
+    "cpu": 50e9,
+}
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    backend = jax.default_backend()
+    dev = jax.devices()[0]
+    dev_kind = getattr(dev, "device_kind", backend)
+    bw = next((v for k, v in HBM_BYTES_PER_S.items() if k in str(dev_kind)),
+              HBM_BYTES_PER_S["cpu"])
+
+    import rails_tpu
+    from rails_tpu.sparse.spmm import dia_spmm
+    from rails_tpu.sparse.formats import DiaMatrix
+
+    on_tpu = backend != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+
+    # ---------------- DIA SpMM throughput ----------------
+    side = 1448 if on_tpu else 128
+    m = side * side
+    s = 16
+    offsets = (-side, -1, 0, 1, side)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)), dtype=dtype)
+    dia = DiaMatrix(data, offsets, (m, m))
+    v = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=dtype)
+
+    apply_fn = jax.jit(lambda d, x: dia_spmm(d, x))
+    y = apply_fn(dia, v)
+    y.block_until_ready()
+    reps = 30 if on_tpu else 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = apply_fn(dia, y)
+    y.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    nnz = len(offsets) * m
+    nnz_per_s = nnz / dt
+    # roofline: data d*m*4 + V read m*s*4 + out write m*s*4 (ideal reuse)
+    itemsize = jnp.dtype(dtype).itemsize
+    bytes_ideal = (len(offsets) * m + 2 * m * s) * itemsize
+    roofline_nnz_per_s = nnz * bw / bytes_ideal
+    frac = nnz_per_s / roofline_nnz_per_s
+
+    # ---------------- end-to-end solve ----------------
+    import scipy.sparse as sp
+
+    from rails_tpu.sparse.formats import sparse_from_scipy
+
+    n = 4096 if on_tpu else 1024
+    side2 = int(np.sqrt(n))
+    lap = sp.kron(sp.eye(side2),
+                  sp.diags([1.0, -4.0, 1.0], [-1, 0, 1], (side2, side2))) \
+        + sp.kron(sp.diags([1.0, 1.0], [-1, 1], (side2, side2)),
+                  sp.eye(side2))
+    aop = sparse_from_scipy(lap.tocsr(), fmt="dia", dtype=dtype,
+                            is_symmetric=True)
+    md = jnp.asarray(rng.uniform(0.5, 1.5, n), dtype=dtype)
+    b = jnp.asarray(rng.uniform(0, 1, (n, 8)), dtype=dtype)
+
+    solver = rails_tpu.LyapunovSolver(
+        aop, b, rails_tpu.DiagonalOperator(md),
+        tol=1e-4, dtype=dtype, expand=6,
+        restart_size=120, reduced_size=60, maxit=120)
+
+    def run_solve():
+        t0 = time.perf_counter()
+        _, _, info = solver.solve(compiled=True)
+        return time.perf_counter() - t0, info
+
+    warm_wall, _ = run_solve()       # includes compilation
+    solve_wall, info = run_solve()   # steady state
+
+    out = {
+        "metric": "dia_spmm_nnz_per_s",
+        "value": nnz_per_s,
+        "unit": "nnz/s",
+        "vs_baseline": frac,
+        "spmm_rows": m,
+        "spmm_cols": s,
+        "spmm_ms": dt * 1e3,
+        "roofline_nnz_per_s": roofline_nnz_per_s,
+        "device": str(dev_kind),
+        "solve_n": n,
+        "solve_wall_s": solve_wall,
+        "solve_compile_wall_s": warm_wall,
+        "solve_iters": info.iter,
+        "solve_converged": bool(info.converged),
+        "solve_res": info.res,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

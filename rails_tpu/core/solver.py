@@ -689,6 +689,12 @@ class LyapunovSolver:
             it1 = st.iter + 1
 
             conv_now = rel < tol
+            # abort on numerical blowup: a singular projected equation
+            # produces non-finite T (the reference prints the sb03md error
+            # and continues with garbage, LyapunovSolver.hpp:361-362; we
+            # fail fast with status -2)
+            blowup = (~jnp.isfinite(rel)) | (~jnp.all(jnp.isfinite(st.T)))
+            conv_now = conv_now & ~blowup
             # C++ exit structure (LyapunovSolver.hpp:224-242): when the
             # tolerance is first reached and space minimization is on, fall
             # through to the restart instead of breaking - even when the
@@ -697,8 +703,10 @@ class LyapunovSolver:
                 & opt.restart_upon_convergence
             space_full = st.k >= k_limit
             done = (conv_now & ~will_minimize) | (it1 >= maxit) \
-                | (space_full & ~will_minimize)
-            status = jnp.where(conv_now, jnp.int32(0), jnp.int32(-1))
+                | (space_full & ~will_minimize) | blowup
+            status = jnp.where(blowup, jnp.int32(-2),
+                               jnp.where(conv_now, jnp.int32(0),
+                                         jnp.int32(-1)))
             converged = st.converged | conv_now
 
             do_restart = (~done) & (

@@ -1,0 +1,107 @@
+"""Config / ParameterList / profiler tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+import rails_tpu
+from rails_tpu.config import (
+    ParameterList,
+    load_json_parameters,
+    load_xml_parameters,
+    solver_options_from_params,
+)
+from rails_tpu.timer import (
+    disable_profiling,
+    enable_profiling,
+    get_profiles,
+    reset_profiles,
+    save_profiles,
+    timer,
+)
+
+TEUCHOS_XML = """<ParameterList name="ANONYMOUS">
+  <ParameterList name="Lyapunov Solver">
+    <Parameter name="Maximum iterations" type="int" value="250"/>
+    <Parameter name="Tolerance" type="double" value="1e-6"/>
+    <Parameter name="Restart Size" type="int" value="50"/>
+    <Parameter name="minimize solution space" type="bool" value="false"/>
+  </ParameterList>
+  <ParameterList name="Eigenvalue Solver">
+    <Parameter name="Number of Eigenvalues" type="int" value="5"/>
+  </ParameterList>
+</ParameterList>
+"""
+
+
+class TestParameterList:
+    def test_case_insensitive_get(self):
+        # mirrors get_parameter spelling variants
+        # (/root/reference/src/LyapunovSolver.hpp:40-70)
+        p = ParameterList({"RESTART SIZE": 7})
+        assert p.get("Restart size", -1) == 7
+        p2 = ParameterList({"restart size": 8})
+        assert p2.get("Restart size", -1) == 8
+        p3 = ParameterList({"Restart Size": 9})
+        assert p3.get("Restart size", -1) == 9
+        assert p3.get("nonexistent", 42) == 42
+
+    def test_sublist(self):
+        p = ParameterList()
+        sub = p.sublist("Lyapunov Solver")
+        sub["Tolerance"] = 1e-8
+        assert p.sublist("Lyapunov Solver").get("tolerance") == 1e-8
+
+    def test_xml_load(self, tmp_path):
+        path = tmp_path / "params.xml"
+        path.write_text(TEUCHOS_XML)
+        params = load_xml_parameters(str(path))
+        sub = params.sublist("Lyapunov Solver")
+        assert sub.get("Maximum iterations") == 250
+        assert sub.get("Tolerance") == 1e-6
+        assert params.sublist("Eigenvalue Solver").get(
+            "Number of Eigenvalues") == 5
+
+    def test_options_mapping(self, tmp_path):
+        path = tmp_path / "params.xml"
+        path.write_text(TEUCHOS_XML)
+        params = load_xml_parameters(str(path))
+        opts = solver_options_from_params(params.sublist("Lyapunov Solver"))
+        assert opts.maxit == 250
+        assert opts.tol == 1e-6
+        assert opts.restart_size == 50
+        assert opts.restart_upon_convergence is False
+
+    def test_json_load(self, tmp_path):
+        path = tmp_path / "params.json"
+        path.write_text('{"Lyapunov Solver": {"tol": 0.001, "expand": 2}}')
+        params = load_json_parameters(str(path))
+        opts = solver_options_from_params(params.sublist("Lyapunov Solver"))
+        assert opts.tol == 0.001
+        assert opts.expand == 2
+
+
+class TestTimer:
+    def test_accumulation_and_report(self):
+        reset_profiles()
+        enable_profiling()
+        try:
+            for _ in range(3):
+                with timer("Test", "region"):
+                    sum(range(1000))
+            profiles = get_profiles()
+            assert profiles[("Test", "region")].calls == 3
+            buf = io.StringIO()
+            out = save_profiles(stream=buf)
+            assert "Test/region" in out
+            assert "Calls" in out
+        finally:
+            disable_profiling()
+            reset_profiles()
+
+    def test_disabled_is_noop(self):
+        reset_profiles()
+        with timer("Off", "x"):
+            pass
+        assert ("Off", "x") not in get_profiles()

@@ -197,3 +197,25 @@ class TestInfoOutputs:
         assert i1.iter == i2.iter
         assert np.allclose(np.asarray(v1), np.asarray(v2))
         assert np.allclose(np.asarray(t1), np.asarray(t2))
+
+
+class TestScalarMirror:
+    """1x1 exact-value tests (the reference's ScalarWrapper mock backend,
+    test/LyapunovSolver_test.cpp:15-59)."""
+
+    def test_scalar_solve(self):
+        # ScalarSolver: A=2, B=-4 -> X T X' = -4
+        a = jnp.array([[2.0]])
+        b = jnp.array([[-4.0]])
+        v, t, info = rails_tpu.solve(a, b, tol=1e-10,
+                                     restart_upon_convergence=False)
+        assert info.converged
+        x = float(v[0, 0]) ** 2 * float(t[0, 0])
+        assert abs(x - (-4.0)) < 1e-10
+
+    def test_nan_abort(self, rng):
+        # a singular Lyapunov operator (A = 0) must abort, not hang
+        a = jnp.zeros((4, 4))
+        b = jnp.asarray(rng.uniform(-1, 1, (4, 1)))
+        v, t, info = rails_tpu.solve(a, b, maxit=10)
+        assert info.status in (-1, -2)

@@ -152,3 +152,29 @@ class TestBackendContract:
         xs = [r[1] for r in results.values()]
         for xo in xs[1:]:
             assert np.allclose(xs[0], xo, atol=1e-8)
+
+
+class TestDiaSpmmKernel:
+    def test_dispatch_matches_matmat(self, rng):
+        # on CPU the dispatcher uses the jnp path; check equivalence anyway
+        from rails_tpu.sparse.spmm import dia_spmm
+        from rails_tpu.sparse.formats import sparse_from_dense
+        a = laplacian2(256)
+        op = sparse_from_dense(a, fmt="dia")
+        x = jnp.asarray(rng.uniform(-1, 1, (256, 5)))
+        y = dia_spmm(op.fwd, x)
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-12)
+
+    def test_pallas_interpreter(self, rng):
+        # run the pallas kernel in interpreter mode on CPU
+        import jax
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.spmm import dia_spmm_pallas
+        from rails_tpu.sparse.formats import sparse_from_dense
+        a = laplacian2(1024)
+        op = sparse_from_dense(a, fmt="dia", dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (1024, 8)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = dia_spmm_pallas(op.fwd, x, block_rows=256)
+        assert np.allclose(np.asarray(y), np.asarray(op.fwd.matmat(x)),
+                           atol=1e-4)
