@@ -87,6 +87,7 @@ class SolverState(NamedTuple):
     resvec: jax.Array       # (maxit,) residual history
     recvec: jax.Array       # (maxit,) bool: resvec entry valid
     mvps: jax.Array         # int32 logical A-column applications
+    q_warm: jax.Array       # (m, 1) warm start for the residual Lanczos
 
 
 @dataclasses.dataclass
@@ -387,6 +388,7 @@ class LyapunovSolver:
             resvec=jnp.zeros((opt.maxit,), dtype=dtype),
             recvec=jnp.zeros((opt.maxit,), dtype=bool),
             mvps=jnp.int32(k0),
+            q_warm=jnp.zeros((m, 1), dtype=dtype),
         )
         lyap_method, e_spd = self._resolve_lyap_method()
         static = dict(
@@ -545,7 +547,17 @@ class LyapunovSolver:
 
         def lanczos(st: SolverState):
             key, sub = jax.random.split(st.key)
-            q0 = jax.random.normal(sub, (m, 1), dtype=dtype)
+            g = jax.random.normal(sub, (m, 1), dtype=dtype)
+            g = g / jnp.linalg.norm(g)
+            # Warm start: the residual's dominant eigenvector moves slowly
+            # between outer iterations, so seeding with last iteration's
+            # top candidate (plus a random component guaranteeing overlap
+            # with any newly dominant direction) converges in far fewer
+            # Lanczos steps than the reference's fresh random start
+            # (LyapunovSolver.hpp:371-377).
+            wnorm = jnp.linalg.norm(st.q_warm)
+            q0 = jnp.where(wnorm > 0, st.q_warm / jnp.where(
+                wnorm > 0, wnorm, 1.0) + 0.1 * g, g)
             q0 = q0 / jnp.linalg.norm(q0)
             qbuf0 = jnp.zeros((m, L), dtype=dtype)
             breakdown = eps * 100.0
@@ -583,7 +595,8 @@ class LyapunovSolver:
             evecs = evecs[:, order]
             cands = qbuf @ evecs[:, :s_top]
             res_abs = jnp.abs(evals[0])
-            return st._replace(key=key), res_abs, cands
+            q_warm = qbuf @ evecs[:, :1]
+            return st._replace(key=key, q_warm=q_warm), res_abs, cands
 
         # -------------------- restart --------------------
         def restart(st: SolverState) -> SolverState:

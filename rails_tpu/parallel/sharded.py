@@ -77,7 +77,7 @@ def shard_state(state, mesh: Mesh):
 
     return state._replace(
         V=place(state.V, rows), AV=place(state.AV, rows),
-        MV=place(state.MV, rows),
+        MV=place(state.MV, rows), q_warm=place(state.q_warm, rows),
         BV=place(state.BV, rep), VAV=place(state.VAV, rep),
         VBV=place(state.VBV, rep), VMV=place(state.VMV, rep),
         T=place(state.T, rep),

@@ -47,17 +47,31 @@ def _dia_spmm_t_impl(data, xt_pad, offsets: Tuple[int, ...],
     win = xt_pad.shape[1] - m_pad + r      # window length per block
     num_blocks = m_pad // r
 
-    def kernel(data_ref, xt_ref, out_ref, w_ref, sem):
+    def kernel(data_ref, xt_ref, out_ref, w_ref, sems):
+        # double-buffered window: prefetch block i+1 while computing i
         i = pl.program_id(0)
-        cp = pltpu.make_async_copy(
-            xt_ref.at[:, pl.ds(i * r, win)], w_ref, sem)
-        cp.start()
-        cp.wait()
+        nb = pl.num_programs(0)
+
+        def window_dma(slot, blk):
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(blk * r, win)], w_ref.at[slot],
+                sems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            window_dma(0, 0).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            window_dma((i + 1) % 2, i + 1).start()
+
+        window_dma(i % 2, i).wait()
+        slot = i % 2
         acc = jnp.zeros((s, r), dtype=jnp.float32)
         for idx, off in enumerate(offsets):
             a0 = pad_l + off
             diag = data_ref[idx, :]
-            acc = acc + diag[None, :] * w_ref[:, a0:a0 + r]
+            acc = acc + diag[None, :] * w_ref[slot, :, a0:a0 + r]
         out_ref[:] = acc.astype(out_ref.dtype)
 
     flops = 2 * d * m_pad * s
@@ -73,8 +87,8 @@ def _dia_spmm_t_impl(data, xt_pad, offsets: Tuple[int, ...],
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((s, m_pad), xt_pad.dtype),
         scratch_shapes=[
-            pltpu.VMEM((s, win), xt_pad.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, s, win), xt_pad.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),

@@ -75,3 +75,28 @@ class TestShardedSolve:
     def test_dryrun_entrypoint(self):
         import __graft_entry__ as g
         g.dryrun_multichip(8)
+
+
+class TestHaloSpmm:
+    def test_matches_dense(self, rng, mesh):
+        from rails_tpu.parallel.halo_spmm import halo_dia_spmm
+        a = laplacian2(256)
+        op = sparse_from_dense(a, fmt="dia")
+        x = jnp.asarray(rng.uniform(-1, 1, (256, 4)))
+        y = halo_dia_spmm(op.fwd, x, mesh)
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-12)
+
+    def test_operator_in_solver(self, rng, mesh):
+        from rails_tpu.parallel.halo_spmm import HaloDiaOperator
+        n = 256  # slab of 32 rows/device > stencil span of 16
+        a = laplacian2(n)
+        op0 = sparse_from_dense(a, fmt="dia")
+        hop = HaloDiaOperator(op0.fwd, mesh, is_symmetric=True)
+        b = jnp.asarray(rng.uniform(0, 1, (n, 1)))
+        v, t, info = rails_tpu.solve(hop, b, tol=1e-6)
+        v2, t2, info2 = rails_tpu.solve(op0, b, tol=1e-6)
+        assert info.converged
+        assert info.iter == info2.iter
+        x1 = np.asarray(v) @ np.asarray(t) @ np.asarray(v).T
+        x2 = np.asarray(v2) @ np.asarray(t2) @ np.asarray(v2).T
+        assert np.allclose(x1, x2, atol=1e-9)
