@@ -77,21 +77,28 @@ def _reduce_generalized(a, c, e, assume_e_spd: bool):
     return at, _sym(ct), lambda y: y
 
 
-def _lyap_eigh(a, c):
-    """X for symmetric A: one eigh + 3 matmuls, MXU speed-of-light."""
+def _eigh_factor(a):
+    """Factored Lyapunov solver for symmetric A: one eigh, then each solve
+    is 2 matmuls + a Cauchy scaling (MXU speed-of-light).  The factored
+    form makes iterative refinement nearly free."""
     w, q = jnp.linalg.eigh(_sym(a))
-    ct = q.T @ c @ q
     denom = w[:, None] + w[None, :]
     # Guard: the equation is only solvable if w_i + w_j != 0; a zero denom
-    # means a singular Lyapunov operator.  We clamp to keep the kernel
-    # total; callers can check the residual.
-    eps = jnp.finfo(denom.dtype).tiny * 1e8
-    denom = jnp.where(jnp.abs(denom) < eps, eps, denom)
-    xt = -ct / denom
-    return q @ xt @ q.T
+    # means a singular Lyapunov operator.  We zero those modes (pseudo-
+    # inverse regularization); callers can check the residual.
+    eps = jnp.finfo(denom.dtype).eps * (jnp.max(jnp.abs(w)) + 1.0)
+    bad = jnp.abs(denom) < eps
+    denom = jnp.where(bad, 1.0, denom)
+
+    def solve(c):
+        ct = q.T @ c @ q
+        xt = jnp.where(bad, 0.0, -ct / denom)
+        return q @ xt @ q.T
+
+    return solve
 
 
-def _lyap_schur(a, c, max_sweeps: Optional[int] = None):
+def _schur_factor(a, max_sweeps: Optional[int] = None):
     """General A via complex Schur + Bartels-Stewart back-substitution.
 
     A = U T U^H (T upper triangular, U unitary).  With A real,
@@ -112,24 +119,27 @@ def _lyap_schur(a, c, max_sweeps: Optional[int] = None):
         t, u = jax.lax.linalg.schur(a.astype(cdtype))
     else:
         t, u = complex_schur(a.astype(cdtype), max_sweeps=max_sweeps)
-    g = -(u.conj().T @ c.astype(cdtype) @ u)
 
     eye = jnp.eye(k, dtype=cdtype)
 
-    def col_step(j, y):
-        # rhs_j = g[:, j] - Y @ conj(T[j, :]) restricted to columns > j
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
-        tj = jnp.where(col_ids > j, jnp.conj(t[j, :]), 0.0)
-        rhs = g[:, j] - y @ tj
-        yj = jax.scipy.linalg.solve_triangular(
-            t + jnp.conj(t[j, j]) * eye, rhs, lower=False)
-        return y.at[:, j].set(yj)
+    def solve(c):
+        g = -(u.conj().T @ c.astype(cdtype) @ u)
 
-    y0 = jnp.zeros((k, k), dtype=cdtype)
-    # iterate j = k-1 down to 0
-    y = jax.lax.fori_loop(0, k, lambda i, y: col_step(k - 1 - i, y), y0)
-    x = u @ y @ u.conj().T
-    return _sym(jnp.real(x).astype(a.dtype))
+        def col_step(j, y):
+            # rhs_j = g[:, j] - Y @ conj(T[j, :]) restricted to cols > j
+            col_ids = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+            tj = jnp.where(col_ids > j, jnp.conj(t[j, :]), 0.0)
+            rhs = g[:, j] - y @ tj
+            yj = jax.scipy.linalg.solve_triangular(
+                t + jnp.conj(t[j, j]) * eye, rhs, lower=False)
+            return y.at[:, j].set(yj)
+
+        y0 = jnp.zeros((k, k), dtype=cdtype)
+        y = jax.lax.fori_loop(0, k, lambda i, y: col_step(k - 1 - i, y), y0)
+        x = u @ y @ u.conj().T
+        return _sym(jnp.real(x).astype(a.dtype))
+
+    return solve
 
 
 def _lyap_sign(a, c, iterations: int = 30):
@@ -166,7 +176,8 @@ def _lyap_kron(a, c, e=None):
     return _sym(x.reshape(k, k))
 
 
-@functools.partial(jax.jit, static_argnames=("method", "assume_e_spd", "sign_iterations"))
+@functools.partial(jax.jit, static_argnames=(
+    "method", "assume_e_spd", "sign_iterations", "refine"))
 @highest_precision
 def lyap(
     a: jax.Array,
@@ -176,6 +187,7 @@ def lyap(
     method: str = "schur",
     assume_e_spd: bool = False,
     sign_iterations: int = 30,
+    refine: Optional[int] = None,
 ) -> jax.Array:
     """Solve A X E' + E X A' + C = 0 for symmetric X.
 
@@ -196,6 +208,8 @@ def lyap(
     c = jnp.asarray(c)
     if a.ndim != 2 or a.shape[0] != a.shape[1]:
         raise ValueError(f"a must be square, got {a.shape}")
+    if refine is None:
+        refine = 1 if jnp.dtype(a.dtype) == jnp.float32 else 0
 
     if method == "kron":
         return _lyap_kron(a, c, e)
@@ -204,10 +218,17 @@ def lyap(
     if e is not None:
         a, c, back = _reduce_generalized(a, c, e, assume_e_spd)
 
-    if method == "eigh":
-        x = _lyap_eigh(a, c)
-    elif method == "schur":
-        x = _lyap_schur(a, c)
+    if method in ("eigh", "schur"):
+        factor = _eigh_factor if method == "eigh" else _schur_factor
+        slv = factor(a)
+        x = slv(c)
+        # Iterative refinement with the cached factorization: one cheap
+        # correction recovers most of the accuracy float32 loses in the
+        # transform roundoff (TPU path; no-op cost at float64).
+        for _ in range(refine):
+            r = a @ x + x @ a.T + c
+            x = x - slv(-r)
+        x = _sym(x)
     elif method == "sign":
         x = _lyap_sign(a, c, iterations=sign_iterations)
     else:
