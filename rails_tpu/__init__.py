@@ -24,6 +24,13 @@ from rails_tpu.operators import (  # noqa: F401
 )
 from rails_tpu.core.options import InvalidOption, SolverOptions  # noqa: F401
 from rails_tpu.core.solver import LyapunovSolver, SolveInfo, solve  # noqa: F401
+from rails_tpu.eigs import eigs  # noqa: F401
+from rails_tpu.schur import SchurReduction, schur_reduce  # noqa: F401
+from rails_tpu.sparse.formats import (  # noqa: F401
+    sparse_from_csr,
+    sparse_from_dense,
+    sparse_from_scipy,
+)
 from rails_tpu.timer import (  # noqa: F401
     disable_profiling,
     enable_profiling,

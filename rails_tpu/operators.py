@@ -26,6 +26,7 @@ from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "LinearOperator",
@@ -295,9 +296,30 @@ class LowRankOperator(LinearOperator):
 
 
 def as_operator(a, **tags) -> LinearOperator:
-    """Coerce an array / callable / operator into a LinearOperator."""
+    """Coerce an array / scipy sparse / BCOO / callable into an operator."""
     if isinstance(a, LinearOperator):
         return a
+    try:
+        import scipy.sparse as _sp
+
+        if _sp.issparse(a):
+            from rails_tpu.sparse.formats import sparse_from_scipy
+
+            return sparse_from_scipy(a, **tags)
+    except ImportError:
+        pass
+    try:
+        from jax.experimental.sparse import BCOO
+
+        if isinstance(a, BCOO):
+            from rails_tpu.sparse.formats import sparse_from_scipy
+            import scipy.sparse as _sp
+
+            coo = _sp.coo_matrix(
+                (np.asarray(a.data), np.asarray(a.indices).T), shape=a.shape)
+            return sparse_from_scipy(coo.tocsr(), **tags)
+    except ImportError:
+        pass
     if callable(a) and not hasattr(a, "ndim"):
         raise TypeError("wrap callables explicitly with CallableOperator "
                         "(a shape is required)")

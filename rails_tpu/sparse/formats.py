@@ -189,12 +189,15 @@ def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
 
 
 def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
-                      dia_max_offsets: int = 48, dtype=None,
-                      **tags) -> SparseOperator:
+                      dia_max_offsets: int = 96, dia_fill_limit: float = 8.0,
+                      dtype=None, **tags) -> SparseOperator:
     """Build a device SparseOperator from a scipy sparse matrix.
 
     fmt: 'auto' | 'dia' | 'ell'.  'auto' picks DIA when the matrix has at
-    most ``dia_max_offsets`` distinct diagonals with acceptable fill.
+    most ``dia_max_offsets`` distinct diagonals *and* the DIA fill
+    (d*m values stored for nnz actual entries) stays under
+    ``dia_fill_limit`` - structured-grid Jacobians like the reference's
+    DataErik ocean matrix (54 offsets, fill 4.8x) take the DIA fast path.
     """
     if dtype is None:
         dtype = jnp.asarray(0.0).dtype
@@ -204,7 +207,9 @@ def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
     if fmt == "auto":
         coo = a.tocoo()
         n_offsets = len(np.unique(coo.col - coo.row))
-        fmt = "dia" if n_offsets <= dia_max_offsets else "ell"
+        dia_ok = (n_offsets <= dia_max_offsets
+                  and n_offsets * m <= dia_fill_limit * max(nnz, 1))
+        fmt = "dia" if dia_ok else "ell"
     sym = bool(tags.get("is_symmetric", False))
     if not sym and nnz and m == n and (a != a.T).nnz == 0:
         sym = True

@@ -219,3 +219,81 @@ class TestScalarMirror:
         b = jnp.asarray(rng.uniform(-1, 1, (4, 1)))
         v, t, info = rails_tpu.solve(a, b, maxit=10)
         assert info.status in (-1, -2)
+
+
+class TestExtras:
+    def test_restart_upon_start(self, rng):
+        # restart_upon_start trims an oversized initial space immediately
+        # (RAILSsolver.m:53-56,455)
+        n = 20
+        a, b = tridiagonal_problem(rng, n)
+        space = rng.uniform(-1, 1, (n, 15))
+        v, t, info = rails_tpu.solve(
+            a, b, tol=1e-6, space=space, restart_upon_start=True)
+        assert info.converged
+        assert true_residual(a, v, t, b) < 1e-4
+
+    def test_scipy_sparse_input(self, rng):
+        import scipy.sparse as sp
+        a, b = tridiagonal_problem(rng)
+        asp = sp.csr_matrix(np.asarray(a))
+        v, t, info = rails_tpu.solve(asp, b, tol=1e-6)
+        assert info.converged
+        assert true_residual(a, v, t, b) < 1e-4
+
+    def test_bcoo_input(self, rng):
+        from jax.experimental.sparse import BCOO
+        a, b = tridiagonal_problem(rng)
+        abcoo = BCOO.fromdense(a)
+        v, t, info = rails_tpu.solve(abcoo, b, tol=1e-6)
+        assert info.converged
+        assert true_residual(a, v, t, b) < 1e-4
+
+    def test_continuation(self, rng):
+        from rails_tpu.continuation import ContinuationSolver
+        n = 20
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 2.0 * jnp.eye(n)
+        cont = ContinuationSolver(b, tol=1e-6)
+        iters = []
+        for theta in (0.0, 0.05, 0.1):
+            a_theta = a + theta * jnp.eye(n)
+            v, t, info = cont.step(a_theta)
+            assert info.converged
+            assert true_residual(a_theta, v, t, b) < 1e-4
+            iters.append(info.iter)
+        # warm-started steps converge faster than the cold start
+        assert min(iters[1:]) < iters[0]
+
+    def test_solver_state_invariants(self, rng):
+        """Masked-state invariants (the watermark/capacity discipline of
+        StlWrapper, GenericMultiVectorWrapper_test role): after every
+        iteration, the active columns are orthonormal, buffers beyond k
+        are exactly zero, and VAV/VBV match their definitions (for the
+        blocks whose Gram products have been computed)."""
+        import jax
+        n = 24
+        a, b = tridiagonal_problem(rng, n)
+        solver = rails_tpu.LyapunovSolver(a, b, tol=1e-8)
+        state, static = solver._init_state(n, jnp.dtype("float64"))
+        kb = static["kb"]
+        step = jax.jit(solver._build_iterate(
+            dict(static, kb=kb, k_limit=min(n, kb - static["s_slot"]))))
+        an = np.asarray(a)
+        for _ in range(12):
+            state = step(state)
+            k = int(state.k)
+            kdone = int(state.w_start) if int(state.n_new) > 0 else k
+            v = np.asarray(state.V)
+            assert np.allclose(v[:, :k].T @ v[:, :k], np.eye(k), atol=1e-12)
+            assert np.all(v[:, k:] == 0.0)
+            assert np.all(np.asarray(state.VAV)[k:, :] == 0.0)
+            assert np.all(np.asarray(state.VAV)[:, k:] == 0.0)
+            # Gram blocks computed so far match definitions
+            av = np.asarray(state.AV)[:, :kdone]
+            assert np.allclose(av, an @ v[:, :kdone], atol=1e-12)
+            vav = np.asarray(state.VAV)[:kdone, :kdone]
+            assert np.allclose(vav, v[:, :kdone].T @ an @ v[:, :kdone],
+                               atol=1e-11)
+            if bool(state.done):
+                break
