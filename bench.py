@@ -49,22 +49,36 @@ def main():
     s = 16
     offsets = (-side, -1, 0, 1, side)
     rng = np.random.default_rng(0)
-    data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)), dtype=dtype)
+    # scale so chained applies stay bounded (spectral radius < 1);
+    # identical memory traffic, numerically safe for long chains
+    data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)),
+                       dtype=dtype) * 0.12
     dia = DiaMatrix(data, offsets, (m, m))
     v = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=dtype)
 
     apply_fn = jax.jit(lambda d, x: dia_spmm(d, x))
-    y = apply_fn(dia, v)
-    y.block_until_ready()
-    reps = 30 if on_tpu else 3
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        y = apply_fn(dia, y)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
+    total_fn = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+    float(total_fn(apply_fn(dia, v)))  # warm up (compile + first run)
+
+    def chain(reps):
+        """Wall time of `reps` chained applies, closed by a data-dependent
+        scalar readback (async dispatch through remote tunnels makes
+        block_until_ready unreliable; the readback cannot complete before
+        every apply in the chain has)."""
+        y = v
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = apply_fn(dia, y)
+        float(total_fn(y))
+        return time.perf_counter() - t0
+
+    reps_lo, reps_hi = (10, 110) if on_tpu else (2, 10)
+    chain(reps_lo)  # warm the dispatch path
+    d_lo = chain(reps_lo)
+    d_hi = chain(reps_hi)
+    dt = max(d_hi - d_lo, 1e-9) / (reps_hi - reps_lo)
     nnz = len(offsets) * m
     nnz_per_s = nnz / dt
-    # roofline: data d*m*4 + V read m*s*4 + out write m*s*4 (ideal reuse)
     itemsize = jnp.dtype(dtype).itemsize
     bytes_ideal = (len(offsets) * m + 2 * m * s) * itemsize
     roofline_nnz_per_s = nnz * bw / bytes_ideal
