@@ -13,7 +13,7 @@ host between sweeps.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple, Union
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import numpy as np
 from rails_tpu.operators import CallableOperator, LinearOperator
 from rails_tpu.utils.dtypes import highest_precision
 
-__all__ = ["eigs"]
+__all__ = ["eigs", "eigs_general"]
 
 
 def _as_apply(op) -> Tuple[Callable, int]:
@@ -129,3 +129,114 @@ def eigs(
         evals = evals[mask]
         evecs = evecs[:, mask]
     return evals, evecs
+
+
+def eigs_general(
+    op: LinearOperator,
+    num: int = 6,
+    *,
+    max_restarts: int = 60,
+    subspace: Optional[int] = None,
+    key: Optional[jax.Array] = None,
+    dtype=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Largest-|lambda| eigenpairs of a general (nonsymmetric) operator
+    via restarted Arnoldi (the nonsymmetric capability of Anasazi's block
+    Krylov-Schur, /root/reference/src/Epetra_OperatorWrapper.cpp:147-222;
+    MATLAB uses ARPACK ``eigs(A, 1)`` this way in test_random.m:26).
+
+    Returns complex (eigenvalues, eigenvectors), |lambda| descending.
+    The small projected eigenproblem is solved by complex Schur
+    (LAPACK on CPU, our QR-iteration kernel on TPU) + inverse iteration
+    on the triangular factor.
+    """
+    apply_op, m = _as_apply(op)
+    if dtype is None:
+        dtype = jnp.asarray(0.0).dtype
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    num = min(num, m)
+    L = subspace or min(m, max(4 * num + 20, 30))
+    eps = float(jnp.finfo(dtype).eps)
+
+    from rails_tpu.linalg.schur_qr import complex_schur
+    from rails_tpu.utils.dtypes import complex_dtype_for
+
+    cdtype = complex_dtype_for(dtype)
+
+    def small_eig(h):
+        """Eigenpairs of a small dense matrix via Schur + inverse
+        iteration on (T - lambda I)."""
+        if jax.default_backend() == "cpu":
+            t, u = jax.lax.linalg.schur(h.astype(cdtype))
+        else:
+            t, u = complex_schur(h.astype(cdtype))
+        lam = jnp.diagonal(t)
+        k = h.shape[0]
+        eye = jnp.eye(k, dtype=cdtype)
+
+        def vec(i):
+            shift = lam[i] * (1.0 + 10 * eps) + 10 * eps
+            y0 = jnp.ones((k,), dtype=cdtype) / np.sqrt(k)
+
+            def body(_, y):
+                y = jax.scipy.linalg.solve_triangular(
+                    t - shift * eye, y, lower=False)
+                return y / jnp.linalg.norm(y)
+
+            y = jax.lax.fori_loop(0, 3, body, y0)
+            return u @ y
+
+        vecs = jax.vmap(vec)(jnp.arange(k)).T
+        return lam, vecs
+
+    key, sub = jax.random.split(key)
+    q0 = jax.random.normal(sub, (m,), dtype=dtype)
+    q0 = q0 / jnp.linalg.norm(q0)
+
+    @jax.jit
+    @highest_precision
+    def arnoldi(q_start):
+        q = jnp.zeros((m, L), dtype=dtype).at[:, 0].set(q_start)
+        h = jnp.zeros((L + 1, L), dtype=dtype)
+
+        def body(carry, j):
+            q, h = carry
+            w = apply_op(q[:, j][:, None])[:, 0]
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (L,), 0) <= j
+                    ).astype(dtype)
+            qm = q * mask[None, :]
+            coef = qm.T @ w
+            w = w - qm @ coef
+            w = w - qm @ (qm.T @ w)  # second pass
+            beta = jnp.linalg.norm(w)
+            h = h.at[:L, j].set(coef)
+            h = h.at[j + 1, j].set(beta)
+            w = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
+            q = jax.lax.cond(
+                j + 1 < L, lambda q: q.at[:, j + 1].set(w), lambda q: q, q)
+            return (q, h), None
+
+        (q, h), _ = jax.lax.scan(body, (q, h), jnp.arange(L))
+        return q, h
+
+    best = None
+    for _ in range(max_restarts):
+        q, h = arnoldi(q0)
+        lam, svecs = small_eig(h[:L, :L])
+        order = jnp.argsort(-jnp.abs(lam))
+        lam = lam[order]
+        svecs = svecs[:, order]
+        ritz = q.astype(cdtype) @ svecs[:, :num]
+        ritz = ritz / jnp.linalg.norm(ritz, axis=0, keepdims=True)
+        av = apply_op(jnp.real(ritz)) + 1j * apply_op(jnp.imag(ritz))
+        resid = jnp.linalg.norm(av - ritz * lam[None, :num], axis=0)
+        best = (lam[:num], ritz)
+        if float(jnp.max(resid)) <= 1e-8 * float(jnp.abs(lam[0])) + 1e-300:
+            break
+        # restart biased toward the unconverged Ritz directions
+        w = jnp.where(resid > 1e-8 * jnp.abs(lam[0]), 1.0, 1e-3)
+        mix = ritz @ w.astype(cdtype)
+        q0 = jnp.real(mix) + 0.3 * jnp.imag(mix)
+        q0 = q0 / jnp.linalg.norm(q0)
+    return best

@@ -223,3 +223,35 @@ class TestMOC:
         # test_MOC.m test_MOC_inv: projection_method 2.2 with Sinv
         red0 = schur_reduce(self.a2, self.m2, self.b2)
         self.run_moc(projection_method=2.2, inv_a=red0.sinv())
+
+
+class TestEigsGeneral:
+    def test_nonsymmetric(self, rng):
+        from rails_tpu.eigs import eigs_general
+        n = 80
+        a = rng.uniform(-1, 1, (n, n))
+        op = rails_tpu.DenseOperator(jnp.asarray(a))
+        evals, evecs = eigs_general(op, num=3)
+        true = np.linalg.eigvals(a)
+        true = true[np.argsort(-np.abs(true))][:3]
+        d = np.abs(np.asarray(evals)[:, None] - true[None, :])
+        assert d.min(axis=1).max() < 1e-6
+        # residual check
+        av = a @ np.asarray(evecs)
+        r = av - np.asarray(evecs) * np.asarray(evals)[None, :]
+        assert np.linalg.norm(r, axis=0).max() < 1e-5
+
+    def test_dominant_eigenvector_use_case(self, rng):
+        # the test_random.m B = eigs(A, 1) use case
+        from rails_tpu.eigs import eigs_general
+        from rails_tpu.models.problems import random_sparse
+        n = 64
+        a = random_sparse(rng, n)
+        op = rails_tpu.DenseOperator(jnp.asarray(a))
+        evals, evecs = eigs_general(op, num=1)
+        b = np.real(np.asarray(evecs[:, 0])).copy()
+        b /= np.linalg.norm(b)
+        v, t, info = rails_tpu.solve(jnp.asarray(a), jnp.asarray(b[:, None]),
+                                     maxit=64)
+        assert info.converged
+        assert info.iter < 10
