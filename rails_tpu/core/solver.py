@@ -37,8 +37,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from functools import partial
-from typing import Any, NamedTuple, Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +46,6 @@ import numpy as np
 from rails_tpu.core.options import SolverOptions
 from rails_tpu.linalg import dense_lyap
 from rails_tpu.operators import (
-    CallableOperator,
     LinearOperator,
     as_operator,
     operator_norm2,
@@ -185,6 +183,9 @@ class LyapunovSolver:
         if compiled:
             with timer("Solver", "while_loop"):
                 state = self._grow_state(state, cap_kb)
+                if self.mesh is not None:
+                    from rails_tpu.parallel.sharded import shard_state
+                    state = shard_state(state, self.mesh)
                 iterate = step_for(cap_kb)
 
                 def cond(st):

@@ -100,3 +100,21 @@ class TestHaloSpmm:
         x1 = np.asarray(v) @ np.asarray(t) @ np.asarray(v).T
         x2 = np.asarray(v2) @ np.asarray(t2) @ np.asarray(v2).T
         assert np.allclose(x1, x2, atol=1e-9)
+
+
+class TestShardedCompiled:
+    def test_compiled_sharded_solve(self, rng, mesh):
+        n = 64
+        a = laplacian2(n)
+        op = sparse_from_dense(a, fmt="dia")
+        b = jnp.asarray(rng.uniform(0, 1, (n, 1)))
+        solver = rails_tpu.LyapunovSolver(op, b, mesh=mesh, tol=1e-6)
+        v, t, info = solver.solve(compiled=True)
+        v2, t2, info2 = rails_tpu.solve(op, b, tol=1e-6)
+        assert info.converged
+        assert info.iter == info2.iter
+        # V's column signs/order differ between bucket sizes (eigh basis
+        # of the padded zero block); the product X = V T V' is invariant
+        x1 = np.asarray(v) @ np.asarray(t) @ np.asarray(v).T
+        x2 = np.asarray(v2) @ np.asarray(t2) @ np.asarray(v2).T
+        assert np.allclose(x1, x2, atol=1e-9)
