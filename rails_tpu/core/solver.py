@@ -150,7 +150,12 @@ class LyapunovSolver:
         mortho = opt.ortho == "M"
         if self.A.is_symmetric and (self.M is None or self.M.is_spd or mortho):
             return "eigh", (self.M is not None and self.M.is_spd and not mortho)
-        if self.A.is_hurwitz and self.M is None:
+        if self.A.is_hurwitz:
+            # Newton sign iteration: pure matmul/inverse (MXU-fast on TPU).
+            # Caveat: projections of a non-normal Hurwitz A need not be
+            # Hurwitz; the tag is a user assertion (e.g. the stable MOC
+            # Schur pencil), and the status -2 blowup guard catches
+            # violations.
             return "sign", False
         return "schur", False
 

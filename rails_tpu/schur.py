@@ -47,7 +47,8 @@ class SchurReduction:
     """Holds the reduced operators; use .operator/.ms/.bs with the solver."""
 
     def __init__(self, a, m, b, *, a11_solver="dense_lu", singular_tol=1e-12,
-                 dtype=None, fmt="ell"):
+                 dtype=None, fmt="ell", hurwitz=False):
+        self.hurwitz = hurwitz
         if dtype is None:
             dtype = jnp.asarray(0.0).dtype
         self.dtype = dtype
@@ -155,7 +156,8 @@ class SchurReduction:
             return self.A22.rmatmat(x) - self.A12.rmatmat(
                 self.a11_solve_t(self.A21.rmatmat(x)))
 
-        return CallableOperator(apply, (self.n2, self.n2), rfn=apply_t)
+        return CallableOperator(apply, (self.n2, self.n2), rfn=apply_t,
+                                is_hurwitz=self.hurwitz)
 
     @property
     def ms(self):

@@ -255,3 +255,19 @@ class TestEigsGeneral:
                                      maxit=64)
         assert info.converged
         assert info.iter < 10
+
+
+@pytest.mark.skipif(not HAVE_DATA, reason="DataErik not mounted")
+def test_moc_hurwitz_sign_path(rng):
+    """The MOC Schur pencil is stable (verified: max Re(lambda) ~ -0.0054),
+    so the hurwitz tag routes the projected solves through the Newton sign
+    iteration - the MXU-fast TPU path for this nonsymmetric problem."""
+    a, m, b = rio.load_moc_problem()
+    a2, m2, b2 = rio.add_border(a, m, b, rio.moc_border(a.shape[0]))
+    red = schur_reduce(a2, m2, b2, hurwitz=True)
+    assert red.operator.is_hurwitz
+    solver = rails_tpu.LyapunovSolver(
+        red.operator, jnp.asarray(red.bs), red.ms, maxit=1000, tol=1e-3)
+    assert solver._resolve_lyap_method()[0] == "sign"
+    v, t, info = solver.solve()
+    assert info.converged
