@@ -34,6 +34,8 @@ class SolverOptions:
     restart_iterations: int = -1         # "Restart iterations" (MATLAB default -1;
                                          #  the C++ default is 20)
     restart_tolerance: Optional[float] = None  # "Restart tolerance"; None -> 1e-3*tol
+    restart_tolerance_mode: str = "relative"  # 'relative' (MATLAB, d/max(d) >
+                                         # rtol) or 'absolute' (C++, |d| > rtol)
     restart_upon_convergence: bool = True  # == C++ "Minimize solution space"
     restart_upon_start: bool = False
 
@@ -73,6 +75,9 @@ class SolverOptions:
         if self.reduced_size <= 0 and self.restart_size > 0:
             # MATLAB: reduced_size = restart_size / 2
             self.reduced_size = self.restart_size // 2
+        if self.restart_tolerance_mode not in ("relative", "absolute"):
+            raise InvalidOption(
+                f"invalid restart_tolerance_mode {self.restart_tolerance_mode!r}")
         pm = self.projection_method
         major = math.floor(pm)
         minor = round((pm - major) * 10)

@@ -614,8 +614,15 @@ class LyapunovSolver:
             order = jnp.argsort(-aevals)
             aevals = aevals[order]
             x = evecs[:, order]
-            emax = jnp.maximum(aevals[0], jnp.finfo(dtype).tiny)
-            keep = (aevals / emax > rtol) & (col_ids < st.k)
+            if opt.restart_tolerance_mode == "absolute":
+                # C++ semantics: |lambda| > rtol
+                # (compute_restart_vectors, LyapunovSolver.hpp:469-477)
+                keep = (aevals > rtol) & (col_ids < st.k)
+            else:
+                # MATLAB semantics: |lambda| / max > rtol
+                # (RAILSsolver.m:475-480)
+                emax = jnp.maximum(aevals[0], jnp.finfo(dtype).tiny)
+                keep = (aevals / emax > rtol) & (col_ids < st.k)
             if reduced_size > 0:
                 keep = keep & (col_ids < reduced_size)
             new_k = jnp.sum(keep).astype(jnp.int32)

@@ -297,3 +297,14 @@ class TestExtras:
                                atol=1e-11)
             if bool(state.done):
                 break
+
+    def test_absolute_restart_tolerance(self, rng):
+        # C++ absolute-filter semantics (LyapunovSolver.hpp:469-477)
+        n = 20
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 3.0 * jnp.eye(n)
+        v, t, info = rails_tpu.solve(
+            a, b, tol=1e-6, restart_iterations=8,
+            restart_tolerance=1e-8, restart_tolerance_mode="absolute")
+        assert info.converged
+        assert true_residual(a, v, t, b) < 1e-4
