@@ -328,7 +328,10 @@ class LyapunovSolver:
                 jnp.asarray(opt.nullspace, dtype=dtype), None,
                 self.M if opt.ortho == "M" else None, opt.ortho_drop_tol)
         mop = self.M if opt.ortho == "M" else None
-        if not (opt.space_is_orthogonalized and opt.restart_data is None):
+        # restart_data carries {V, AV, VAV} produced by a previous solve:
+        # V is already orthonormal and MUST stay untouched or the Gram
+        # data would go inconsistent (RAILSsolver.m:174-197 semantics).
+        if opt.restart_data is None and not opt.space_is_orthogonalized:
             v0 = _host_orthonormalize(v0, nullspace, mop, opt.ortho_drop_tol)
         k0 = int(v0.shape[1])
         p = self._p()
@@ -657,7 +660,6 @@ class LyapunovSolver:
             cols = []
             flags = []
             wacc = jnp.zeros((m, s_slot), dtype=dtype)
-            accmask = jnp.zeros((s_slot,), dtype=dtype)
             for i in range(s_slot):
                 w = wraw[:, i:i + 1]
                 n0 = jnp.linalg.norm(w)
@@ -675,7 +677,6 @@ class LyapunovSolver:
                 ok = (n1 > drop_tol) & (n0 > 0)
                 w = jnp.where(ok, w / jnp.where(n1 > 0, n1, 1.0), 0.0)
                 wacc = wacc.at[:, i].set(w[:, 0])
-                accmask = accmask.at[i].set(ok.astype(dtype))
                 flags.append(ok)
                 cols.append(w)
             okv = jnp.stack([f for f in flags])
