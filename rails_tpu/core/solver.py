@@ -125,6 +125,8 @@ class LyapunovSolver:
             self._b_array = jnp.asarray(b_arr)
             if self._b_array.ndim == 1:
                 self._b_array = self._b_array[:, None]
+            if self.options.dtype is not None:
+                self._b_array = self._b_array.astype(self.options.dtype)
             self._b_is_operator = False
         if mesh is not None:
             from rails_tpu.parallel.sharded import (

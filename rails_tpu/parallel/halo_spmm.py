@@ -68,7 +68,6 @@ def halo_dia_spmm(dia: DiaMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
         in_specs=(P(None, ROW_AXIS), P(ROW_AXIS, None)),
         out_specs=P(ROW_AXIS, None))
     def run(data_loc, x_loc):
-        data_loc = data_loc  # (d, m_loc)
         # neighbor exchange: my bottom rows -> next device's lower halo,
         # my top rows -> previous device's upper halo
         fwd = [(i, i + 1) for i in range(nd - 1)]
