@@ -27,8 +27,13 @@ HBM_BYTES_PER_S = {
 
 
 def main():
+    import sys
+
     import jax
     import jax.numpy as jnp
+
+    if "--mesh" in sys.argv:
+        return mesh_scaling_bench()
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
@@ -131,6 +136,61 @@ def main():
         "solve_res": info.res,
     }
     print(json.dumps(out))
+
+
+def mesh_scaling_bench():
+    """SpMM scaling over all local devices (halo-exchange distributed DIA).
+
+    Reports aggregate nnz/s on the full mesh vs the single-device kernel -
+    the BASELINE.md scaling-efficiency measurement (>=80% target 1 host ->
+    4 hosts on v5p).  With one local chip this degenerates to the
+    single-device number; run on a pod slice for the real measurement.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from rails_tpu.parallel.halo_spmm import halo_dia_spmm
+    from rails_tpu.parallel.mesh import make_mesh
+    from rails_tpu.sparse.formats import DiaMatrix
+
+    nd = len(jax.devices())
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    side = 1448 if on_tpu else 128
+    m = (side * side // (nd * 128)) * nd * 128
+    offsets = (-side, -1, 0, 1, side)
+    rng = np.random.default_rng(0)
+    data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)),
+                       dtype=dtype) * 0.12
+    dia = DiaMatrix(data, offsets, (m, m))
+    v = jnp.asarray(rng.uniform(-1, 1, (m, 16)), dtype=dtype)
+    mesh = make_mesh(nd)
+    fn = jax.jit(lambda d, x: halo_dia_spmm(d, x, mesh))
+    total = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+    float(total(fn(dia, v)))
+
+    def chain(reps):
+        y = v
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            y = fn(dia, y)
+        float(total(y))
+        return time.perf_counter() - t0
+
+    lo, hi = (10, 110) if on_tpu else (2, 10)
+    chain(lo)
+    dt = max(chain(hi) - chain(lo), 1e-9) / (hi - lo)
+    nnz = len(offsets) * m
+    print(json.dumps({
+        "metric": "halo_dia_spmm_nnz_per_s",
+        "value": nnz / dt,
+        "unit": "nnz/s",
+        "vs_baseline": 0.0,
+        "devices": nd,
+        "rows": m,
+    }))
 
 
 if __name__ == "__main__":
