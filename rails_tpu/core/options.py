@@ -12,11 +12,20 @@ import dataclasses
 import math
 from typing import Any, Callable, Optional
 
-__all__ = ["SolverOptions", "InvalidOption"]
+__all__ = ["SolverOptions", "InvalidOption", "InverseNotUsedWarning",
+           "SingularMassMatrixWarning"]
 
 
 class InvalidOption(ValueError):
     """Mirrors MATLAB error id 'RAILSsolver:InvalidOption'."""
+
+
+class InverseNotUsedWarning(UserWarning):
+    """Mirrors MATLAB warning id 'RAILSsolver:InverseNotUsed'."""
+
+
+class SingularMassMatrixWarning(UserWarning):
+    """Mirrors MATLAB warning id 'RAILSsolver:SingularMassMatrix'."""
 
 
 @dataclasses.dataclass
@@ -24,7 +33,10 @@ class SolverOptions:
     # --- core iteration (C++ names in comments) ---
     maxit: int = 100                     # "Maximum iterations" (MATLAB default)
     tol: float = 1e-4                    # "Tolerance" (MATLAB default)
-    expand: int = 3                      # "Expand size"
+    expand: Optional[int] = None         # "Expand size"; None -> min(3, cols(B))
+                                         # (RAILSsolver.m:127; explicit values
+                                         #  larger than cols(B) are rejected,
+                                         #  RAILSsolver.m:216-218)
     lanczos_vectors: Optional[int] = None  # "Lanczos iterations"; None -> max(2*expand, 10)
     lanczos_tolerance: Optional[float] = None  # eigs tolerance (advisory)
 
@@ -78,6 +90,12 @@ class SolverOptions:
         if self.restart_tolerance_mode not in ("relative", "absolute"):
             raise InvalidOption(
                 f"invalid restart_tolerance_mode {self.restart_tolerance_mode!r}")
+        if self.lanczos_vectors is not None and self.expand is not None \
+                and self.lanczos_vectors <= self.expand:
+            # C++ set_parameters validation (LyapunovSolver.hpp:89-95)
+            raise InvalidOption(
+                "Amount of Lanczos iterations is smaller than the amount "
+                "of vectors that are used to expand the space")
         pm = self.projection_method
         major = math.floor(pm)
         minor = round((pm - major) * 10)
@@ -92,6 +110,12 @@ class SolverOptions:
             else 1e-3 * self.tol
 
     @property
+    def effective_expand(self) -> int:
+        """The resolved expand size (LyapunovSolver binds the MATLAB
+        min(3, cols(B)) default at construction; 3 until then)."""
+        return 3 if self.expand is None else self.expand
+
+    @property
     def effective_lanczos(self) -> int:
         if self.lanczos_vectors is not None:
             return self.lanczos_vectors
@@ -100,7 +124,7 @@ class SolverOptions:
         # Lanczos (the dominant residual eigenvector is carried across outer
         # iterations), 10 steps match ARPACK candidate quality on the
         # reference problems at a third of the m-sized work.
-        return max(self.expand + 4, 10)
+        return max(self.effective_expand + 4, 10)
 
     @property
     def uses_inverse_on_expand(self) -> bool:

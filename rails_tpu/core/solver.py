@@ -37,13 +37,16 @@ from __future__ import annotations
 
 import dataclasses
 import time
+import warnings
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rails_tpu.core.options import SolverOptions
+from rails_tpu.core.options import (
+    InvalidOption, InverseNotUsedWarning, SingularMassMatrixWarning,
+    SolverOptions)
 from rails_tpu.linalg import dense_lyap
 from rails_tpu.operators import (
     LinearOperator,
@@ -128,6 +131,29 @@ class LyapunovSolver:
             if self.options.dtype is not None:
                 self._b_array = self._b_array.astype(self.options.dtype)
             self._b_is_operator = False
+        opt = self.options
+        if not self._b_is_operator:
+            p = self._b_array.shape[1]
+            if opt.expand is None:
+                opt.expand = min(3, p)  # MATLAB default (RAILSsolver.m:127)
+            elif opt.expand > p:
+                raise InvalidOption(
+                    "opts.expand is larger than the column dimension of B")
+        elif opt.expand is None:
+            opt.expand = 3
+        if opt.inv_a is not None and opt.projection_major == 1 \
+                and opt.projection_minor == 0:
+            warnings.warn(
+                "An inverse application method is provided, but the current "
+                "projection method does not make use of this",
+                InverseNotUsedWarning)  # RAILSsolver.m:280-284
+        if self.M is not None and getattr(self.M, "d", None) is not None:
+            d = np.abs(np.asarray(self.M.d))
+            if d.size and d.min() < 1e-12 * max(d.max(), 1.0):
+                warnings.warn(
+                    "Your M matrix appears to be singular. It is advised "
+                    "to use the provided schur_reduce method.",
+                    SingularMassMatrixWarning)  # RAILSsolver.m:273-277
         if mesh is not None:
             from rails_tpu.parallel.sharded import (
                 shard_array_rows, shard_operator)
@@ -283,7 +309,6 @@ class LyapunovSolver:
             rd = opt.restart_data
             for field in ("V", "AV", "VAV"):
                 if field not in rd:
-                    from rails_tpu.core.options import InvalidOption
                     raise InvalidOption(
                         "restart_data does not contain valid restart data")
             v0 = jnp.asarray(rd["V"], dtype=dtype)
@@ -292,7 +317,6 @@ class LyapunovSolver:
             if v0.ndim == 1:
                 v0 = v0[:, None]
             if v0.shape[0] != m:
-                from rails_tpu.core.options import InvalidOption
                 raise InvalidOption(
                     "opts.space should have the same row dimension as A")
         if v0 is None:

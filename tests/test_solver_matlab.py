@@ -139,6 +139,59 @@ class TestOpts:
         with pytest.raises(rails_tpu.InvalidOption):
             rails_tpu.SolverOptions(restart_size=10, reduced_size=50)
 
+    def test_wrong_expand(self, rng):
+        # test_wrong_expand (test_opts.m:122-132): expand > cols(B)
+        n = 64
+        a, md, b = laplace_setup(rng, n)
+        with pytest.raises(rails_tpu.InvalidOption):
+            solve_laplace(a, md, b, expand=3)
+
+    def test_wrong_lanczos(self, rng):
+        # C++ set_parameters validation (LyapunovSolver.hpp:89-95):
+        # lanczos iterations must exceed the expand size
+        with pytest.raises(rails_tpu.InvalidOption):
+            rails_tpu.SolverOptions(expand=5, lanczos_vectors=5)
+
+    def test_no_inverse(self, rng):
+        # test_no_inverse (test_opts.m:146-156): inv_a provided but the
+        # projection method ignores it -> RAILSsolver:InverseNotUsed
+        from rails_tpu.core.options import InverseNotUsedWarning
+
+        n = 64
+        a, md, b = laplace_setup(rng, n)
+        with pytest.warns(InverseNotUsedWarning):
+            rails_tpu.LyapunovSolver(
+                rails_tpu.DenseOperator(jnp.asarray(a), is_symmetric=True),
+                jnp.asarray(b), rails_tpu.DiagonalOperator(jnp.asarray(md)),
+                inv_a=lambda x: x)
+
+    def test_singular_mass_warning(self, rng):
+        # RAILSsolver:SingularMassMatrix (RAILSsolver.m:272-277)
+        from rails_tpu.core.options import SingularMassMatrixWarning
+
+        n = 64
+        a, md, b = laplace_setup(rng, n)
+        md = md.copy()
+        md[:3] = 0.0
+        with pytest.warns(SingularMassMatrixWarning):
+            rails_tpu.LyapunovSolver(
+                rails_tpu.DenseOperator(jnp.asarray(a), is_symmetric=True),
+                jnp.asarray(b), rails_tpu.DiagonalOperator(jnp.asarray(md)))
+
+    def test_default_expand_follows_b(self, rng):
+        # MATLAB default expand = min(3, size(B, 2)) (RAILSsolver.m:127)
+        n = 64
+        a, md, b = laplace_setup(rng, n)
+        s = rails_tpu.LyapunovSolver(
+            rails_tpu.DenseOperator(jnp.asarray(a), is_symmetric=True),
+            jnp.asarray(b), rails_tpu.DiagonalOperator(jnp.asarray(md)))
+        assert s.options.expand == 1
+        b4 = rng.uniform(0, 1, (n, 4))
+        s4 = rails_tpu.LyapunovSolver(
+            rails_tpu.DenseOperator(jnp.asarray(a), is_symmetric=True),
+            jnp.asarray(b4), rails_tpu.DiagonalOperator(jnp.asarray(md)))
+        assert s4.options.expand == 3
+
     def test_wrong_space(self, rng):
         # test_wrong_space (test_opts.m:133-144)
         n = 64
