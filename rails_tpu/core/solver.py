@@ -219,13 +219,15 @@ class LyapunovSolver:
                 if self.mesh is not None:
                     from rails_tpu.parallel.sharded import shard_state
                     state = shard_state(state, self.mesh)
-                iterate = step_for(cap_kb)
-
-                def cond(st):
-                    return ~st.done
-
-                state = jax.jit(lambda st: jax.lax.while_loop(
-                    cond, iterate, st))(state)
+                wl_key = (cap_kb, opt.maxit, "while_loop")
+                if wl_key not in self._engine_cache:
+                    st_full = dict(static, kb=cap_kb,
+                                   k_limit=min(m, cap_kb - s_slot))
+                    iterate = self._build_iterate(st_full)
+                    self._engine_cache[wl_key] = jax.jit(
+                        lambda st: jax.lax.while_loop(
+                            lambda s: ~s.done, iterate, st))
+                state = self._engine_cache[wl_key](state)
                 state.res.block_until_ready()
             timevec = [time.perf_counter() - t0] * int(state.iter)
         else:
