@@ -59,7 +59,7 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
         return SparseOperator(
             _shard_payload(op.fwd, mesh), bwd,
             is_symmetric=op.is_symmetric, is_spd=op.is_spd,
-            is_hurwitz=op.is_hurwitz, nnz=op.nnz)
+            is_hurwitz=op.is_hurwitz, nnz=op.nnz, use_pallas=False)
     if isinstance(op, (CallableOperator, IdentityOperator)):
         return op
     raise TypeError(f"cannot shard operator of type {type(op)}")

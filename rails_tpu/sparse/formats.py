@@ -118,13 +118,17 @@ class SparseOperator(LinearOperator):
     rmatmat (built host-side at construction)."""
 
     def __init__(self, fwd, bwd, *, is_symmetric=False, is_spd=False,
-                 is_hurwitz=False, nnz: int = 0):
+                 is_hurwitz=False, nnz: int = 0, use_pallas: bool = True):
         self.fwd = fwd
         self.bwd = bwd
         self.is_symmetric = is_symmetric
         self.is_spd = is_spd
         self.is_hurwitz = is_hurwitz
         self.nnz = nnz
+        # GSPMD-sharded payloads must NOT enter the Pallas kernel (an
+        # unpartitionable pallas_call would be replicated by the
+        # partitioner); shard_operator clears this flag.
+        self.use_pallas = use_pallas
 
     @property
     def shape(self):
@@ -134,26 +138,33 @@ class SparseOperator(LinearOperator):
     def format(self) -> str:
         return "dia" if isinstance(self.fwd, DiaMatrix) else "ell"
 
+    def _apply(self, payload, x):
+        if self.use_pallas and isinstance(payload, DiaMatrix):
+            from rails_tpu.sparse.spmm import dia_spmm
+
+            return dia_spmm(payload, x)
+        return payload.matmat(x)
+
     def matmat(self, x):
-        return self.fwd.matmat(x)
+        return self._apply(self.fwd, x)
 
     def rmatmat(self, x):
-        if self.bwd is None:
-            return self.fwd.matmat(x)  # symmetric
-        return self.bwd.matmat(x)
+        return self._apply(self.fwd if self.bwd is None else self.bwd, x)
 
     def to_dense(self):
-        return self.matmat(jnp.eye(self.shape[1]))
+        return self.fwd.matmat(jnp.eye(self.shape[1]))
 
     def tree_flatten(self):
         return (self.fwd, self.bwd), (self.is_symmetric, self.is_spd,
-                                      self.is_hurwitz, self.nnz)
+                                      self.is_hurwitz, self.nnz,
+                                      self.use_pallas)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         obj = cls.__new__(cls)
         obj.fwd, obj.bwd = children
-        obj.is_symmetric, obj.is_spd, obj.is_hurwitz, obj.nnz = aux
+        (obj.is_symmetric, obj.is_spd, obj.is_hurwitz, obj.nnz,
+         obj.use_pallas) = aux
         return obj
 
 
