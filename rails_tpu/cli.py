@@ -37,6 +37,10 @@ def main(argv=None) -> int:
     ap.add_argument("--num-eigenvalues", type=int, default=None)
     ap.add_argument("--x64", action="store_true",
                     help="enable float64 (CPU)")
+    ap.add_argument("--reorder", choices=["none", "rcm"], default="none",
+                    help="symmetric bandwidth-reduction reordering before "
+                         "the solve (DIA-kernel friendly; deterministic, "
+                         "so --only-eigenvalues reloads stay consistent)")
     args = ap.parse_args(argv)
 
     import jax
@@ -74,6 +78,15 @@ def main(argv=None) -> int:
         a = rio.read_matrix_market(os.path.join(d, "A.mtx"))
         b = rio.read_matrix_market(os.path.join(d, "B.mtx"))
         m = rio.read_matrix_market(os.path.join(d, "M.mtx"))
+
+    if args.reorder == "rcm":
+        from rails_tpu.sparse.reorder import (
+            bandwidth, permute_system, rcm_permutation)
+
+        bw0 = bandwidth(a)
+        perm = rcm_permutation(a)
+        a, m, b = permute_system(a, m, b, perm)
+        print(f"RCM reordering: bandwidth {bw0} -> {bandwidth(a)}")
 
     print("Computing Schur complement")
     with timer("Driver", "schur"):

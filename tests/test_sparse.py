@@ -178,3 +178,49 @@ class TestDiaSpmmKernel:
             y = dia_spmm_pallas(op.fwd, x, block_rows=256)
         assert np.allclose(np.asarray(y), np.asarray(op.fwd.matmat(x)),
                            atol=1e-4)
+
+
+class TestReorder:
+    """RCM bandwidth reduction -> DIA-kernel-friendly structure (TPU-native
+    enhancement; no reference analogue, see rails_tpu/sparse/reorder.py)."""
+
+    def test_rcm_recovers_banded_structure(self, rng):
+        from rails_tpu.sparse.reorder import (
+            bandwidth, n_diagonals, permute_system, rcm_permutation)
+
+        n = 256
+        a0 = sp.csr_matrix(laplacian2(n))
+        shuffle = rng.permutation(n)
+        a = a0[shuffle][:, shuffle].tocsr()
+        assert bandwidth(a) > 100  # scrambled
+        perm = rcm_permutation(a)
+        a2, _, _ = permute_system(a, None, None, perm)
+        assert bandwidth(a2) <= 2 * int(np.sqrt(n)) + 2
+        assert n_diagonals(a2) < n_diagonals(a)
+
+    def test_permuted_solve_matches(self, rng):
+        from rails_tpu.sparse.reorder import permute_system, rcm_permutation
+
+        n = 64
+        a0 = sp.csr_matrix(laplacian2(n))
+        md = rng.uniform(0.5, 1.5, n)
+        b = rng.uniform(0, 1, (n, 1))
+        shuffle = rng.permutation(n)
+        a = a0[shuffle][:, shuffle].tocsr()
+        m = sp.diags(md[shuffle]).tocsr()
+        bp = b[shuffle]
+
+        perm = rcm_permutation(a)
+        a2, m2, b2 = permute_system(a, m, bp, perm)
+        v, t, info = rails_tpu.solve(
+            sparse_from_scipy(a2, is_symmetric=True), jnp.asarray(b2),
+            rails_tpu.DiagonalOperator(jnp.asarray(m2.diagonal())),
+            tol=1e-6)
+        assert info.converged
+        # map back: X = P' X_perm P
+        inv = np.argsort(perm)
+        x_orig = (np.asarray(v) @ np.asarray(t) @ np.asarray(v).T)[
+            np.ix_(inv, inv)]
+        r = a.toarray() @ x_orig @ m.toarray().T \
+            + m.toarray() @ x_orig @ a.toarray().T + bp @ bp.T
+        assert np.linalg.norm(r, 2) / np.linalg.norm(bp.T @ bp, 2) < 1e-6
