@@ -22,7 +22,13 @@ from rails_tpu.operators import (  # noqa: F401
     as_operator,
     operator_norm2,
 )
-from rails_tpu.core.options import InvalidOption, SolverOptions  # noqa: F401
+from rails_tpu.core.options import (  # noqa: F401
+    InvalidOption,
+    InverseNotUsedWarning,
+    ProjectionMethodWarning,
+    SingularMassMatrixWarning,
+    SolverOptions,
+)
 from rails_tpu.core.solver import LyapunovSolver, SolveInfo, solve  # noqa: F401
 from rails_tpu.eigs import eigs  # noqa: F401
 from rails_tpu.schur import SchurReduction, schur_reduce  # noqa: F401

@@ -13,7 +13,7 @@ import math
 from typing import Any, Callable, Optional
 
 __all__ = ["SolverOptions", "InvalidOption", "InverseNotUsedWarning",
-           "SingularMassMatrixWarning"]
+           "SingularMassMatrixWarning", "ProjectionMethodWarning"]
 
 
 class InvalidOption(ValueError):
@@ -26,6 +26,12 @@ class InverseNotUsedWarning(UserWarning):
 
 class SingularMassMatrixWarning(UserWarning):
     """Mirrors MATLAB warning id 'RAILSsolver:SingularMassMatrix'."""
+
+
+class ProjectionMethodWarning(UserWarning):
+    """Mirrors MATLAB warning id 'RAILSsolver:ProjectionMethod' (emitted
+    on non-convergence at maxit with projection_method == 1,
+    /root/reference/matlab/RAILSsolver.m:438-452)."""
 
 
 @dataclasses.dataclass

@@ -45,8 +45,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rails_tpu.core.options import (
-    InvalidOption, InverseNotUsedWarning, SingularMassMatrixWarning,
-    SolverOptions)
+    InvalidOption, InverseNotUsedWarning, ProjectionMethodWarning,
+    SingularMassMatrixWarning, SolverOptions)
 from rails_tpu.linalg import dense_lyap
 from rails_tpu.operators import (
     LinearOperator,
@@ -277,6 +277,14 @@ class LyapunovSolver:
             print(f"The Lyapunov solver {outcome} in {info.iter} iterations "
                   f"with a final relative residual of {info.res:e}. "
                   f"The size of the space used for the solution is {k}")
+        if info.status == -1 and self.options.projection_major == 1 \
+                and self.options.projection_minor == 0:
+            warnings.warn(
+                "Convergence has not been achieved with "
+                "projection_method = 1. It is advised to set "
+                "projection_method to a different value. For instance "
+                "projection_method = 1.2.",
+                ProjectionMethodWarning)  # RAILSsolver.m:438-452
         return v, t, info
 
     # ------------------------------------------------------------------

@@ -47,7 +47,7 @@ class SchurReduction:
     """Holds the reduced operators; use .operator/.ms/.bs with the solver."""
 
     def __init__(self, a, m, b, *, a11_solver="dense_lu", singular_tol=1e-12,
-                 dtype=None, fmt="ell", hurwitz=False):
+                 dtype=None, fmt="ell", hurwitz=False, factorize_sinv=False):
         self.hurwitz = hurwitz
         if dtype is None:
             dtype = jnp.asarray(0.0).dtype
@@ -95,6 +95,11 @@ class SchurReduction:
             self.bs = b[self.idx2]
         self.mvps = 0
         self._sinv_factors = None
+        self._sinv_native = None
+        if factorize_sinv:
+            # MATLAB RAILSschur(A, M, B, true) pre-factorizes the whole-A
+            # LU used by Sinv at reduction time (RAILSschur.m:51-64)
+            self.sinv()
 
     # -- A11 solver plumbing ------------------------------------------------
     def _setup_a11(self, a11_solver):
@@ -165,9 +170,37 @@ class SchurReduction:
 
         return DiagonalOperator(self.ms_diag)
 
-    def sinv(self) -> Callable:
+    def sinv(self, method: str = "dense_lu") -> Callable:
         """x -> S^{-1} x via a full-A solve with the reorder trick
-        (RAILSschur.m:57-64): solve A z = P' [0; x], return z[idx2]."""
+        (RAILSschur.m:57-64): solve A z = P' [0; x], return z[idx2].
+
+        ``method='dense_lu'`` factors A densely on device (cached; MXU
+        applies).  ``method='native_lu'`` uses the C++ Gilbert-Peierls
+        sparse LU via a host callback - the scalable choice when A is
+        large and sparse (the role of MATLAB's sparse ``lu`` at
+        RAILSschur.m:31-33)."""
+        if method == "native_lu":
+            if self._sinv_native is None:
+                from rails_tpu.native.host_lib import NativeSparseLU
+
+                self._sinv_native = NativeSparseLU(self._a_scipy.tocsr())
+            lu = self._sinv_native
+            idx2_np = self.idx2
+            n = self.n
+
+            def solve_native(x, lu=lu, idx2_np=idx2_np, n=n):
+                def cb(xh):
+                    rhs = np.zeros((n,) + xh.shape[1:], dtype=np.float64)
+                    rhs[idx2_np] = np.asarray(xh, dtype=np.float64)
+                    return lu.solve(rhs)[idx2_np].astype(xh.dtype)
+
+                return jax.pure_callback(
+                    cb, jax.ShapeDtypeStruct(x.shape, x.dtype), x,
+                    vmap_method="sequential")
+
+            return solve_native
+        if method != "dense_lu":
+            raise ValueError(f"unknown sinv method {method!r}")
         if self._sinv_factors is None:
             a_dense = jnp.asarray(self._a_scipy.toarray(), dtype=self.dtype)
             self._sinv_factors = jax.scipy.linalg.lu_factor(a_dense)

@@ -224,6 +224,22 @@ class TestMOC:
         red0 = schur_reduce(self.a2, self.m2, self.b2)
         self.run_moc(projection_method=2.2, inv_a=red0.sinv())
 
+    def test_moc_factorize(self):
+        # test_MOC.m test_MOC_factorize: RAILSschur(A, M, B, true)
+        # pre-factorizes the Sinv LU at reduction time
+        red0 = schur_reduce(self.a2, self.m2, self.b2, factorize_sinv=True)
+        assert red0._sinv_factors is not None
+        self.run_moc(projection_method=2.2, inv_a=red0.sinv())
+
+    def test_moc_sinv_native(self):
+        # native sparse-LU Sinv matches the dense-LU Sinv
+        red0 = schur_reduce(self.a2, self.m2, self.b2)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.uniform(-1, 1, (red0.n2, 3)))
+        y_dense = np.asarray(red0.sinv()(x))
+        y_native = np.asarray(red0.sinv(method="native_lu")(x))
+        np.testing.assert_allclose(y_native, y_dense, rtol=1e-8, atol=1e-10)
+
 
 class TestEigsGeneral:
     def test_nonsymmetric(self, rng):

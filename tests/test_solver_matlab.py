@@ -60,6 +60,15 @@ class TestLaplace:
         assert info.res < 1e-4
         assert rel_true_residual(a, v, t, b, md) < 1e-4
 
+    def test_laplace_maxit(self, rng):
+        # test_Laplace_maxit (test_Laplace.m:61-69): hitting maxit with the
+        # default projection_method = 1 warns RAILSsolver:ProjectionMethod
+        n = 64
+        a, md, b = laplace_setup(rng, n)
+        with pytest.warns(rails_tpu.ProjectionMethodWarning):
+            _, _, info = solve_laplace(a, md, b, maxit=10)
+        assert info.status == -1
+
     def test_laplace_equivalence(self, rng):
         # test_Laplace_equivalence (test_Laplace.m:83-111), n=1024
         n = 1024
