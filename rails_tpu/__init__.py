@@ -33,6 +33,10 @@ from rails_tpu.core.solver import LyapunovSolver, SolveInfo, solve  # noqa: F401
 from rails_tpu.eigs import eigs  # noqa: F401
 from rails_tpu.schur import SchurReduction, schur_reduce  # noqa: F401
 from rails_tpu.sparse.formats import (  # noqa: F401
+    DiaMatrix,
+    EllMatrix,
+    HybMatrix,
+    SparseOperator,
     sparse_from_csr,
     sparse_from_dense,
     sparse_from_scipy,

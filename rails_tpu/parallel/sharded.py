@@ -22,7 +22,12 @@ from rails_tpu.operators import (
     LinearOperator,
 )
 from rails_tpu.parallel.mesh import col_sharding, replicated, row_sharding
-from rails_tpu.sparse.formats import DiaMatrix, EllMatrix, SparseOperator
+from rails_tpu.sparse.formats import (
+    DiaMatrix,
+    EllMatrix,
+    HybMatrix,
+    SparseOperator,
+)
 
 __all__ = ["shard_operator", "shard_state", "shard_array_rows"]
 
@@ -39,6 +44,9 @@ def _shard_payload(payload, mesh):
         return EllMatrix(jax.device_put(payload.indices, row_sharding(mesh)),
                          jax.device_put(payload.values, row_sharding(mesh)),
                          payload.shape)
+    if isinstance(payload, HybMatrix):
+        return HybMatrix(_shard_payload(payload.dia, mesh),
+                         _shard_payload(payload.ell, mesh), payload.shape)
     raise TypeError(type(payload))
 
 

@@ -35,6 +35,7 @@ from rails_tpu.operators import LinearOperator
 __all__ = [
     "DiaMatrix",
     "EllMatrix",
+    "HybMatrix",
     "SparseOperator",
     "sparse_from_dense",
     "sparse_from_scipy",
@@ -113,6 +114,31 @@ class EllMatrix:
 
 
 @jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class HybMatrix:
+    """Hybrid DIA + ELL split (the classic HYB format, TPU-flavored):
+    the densely-occupied diagonals ride the DIA path (and its Pallas
+    kernel), the stray off-stencil entries go to a skinny ELL remainder.
+    Extends the structured fast path to matrices that are banded *except*
+    for a few irregular couplings (periodic wrap-around, boundary
+    conditions, observation rows)."""
+
+    dia: DiaMatrix
+    ell: EllMatrix
+    shape: Tuple[int, int]           # static
+
+    def matmat(self, x: jax.Array) -> jax.Array:
+        return self.dia.matmat(x) + self.ell.matmat(x)
+
+    def tree_flatten(self):
+        return (self.dia, self.ell), (self.shape,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], aux[0])
+
+
+@jax.tree_util.register_pytree_node_class
 class SparseOperator(LinearOperator):
     """LinearOperator over a DIA/ELL payload, with a transposed payload for
     rmatmat (built host-side at construction)."""
@@ -136,13 +162,19 @@ class SparseOperator(LinearOperator):
 
     @property
     def format(self) -> str:
-        return "dia" if isinstance(self.fwd, DiaMatrix) else "ell"
+        if isinstance(self.fwd, DiaMatrix):
+            return "dia"
+        return "hyb" if isinstance(self.fwd, HybMatrix) else "ell"
 
     def _apply(self, payload, x):
         if self.use_pallas and isinstance(payload, DiaMatrix):
             from rails_tpu.sparse.spmm import dia_spmm
 
             return dia_spmm(payload, x)
+        if self.use_pallas and isinstance(payload, HybMatrix):
+            from rails_tpu.sparse.spmm import dia_spmm
+
+            return dia_spmm(payload.dia, x) + payload.ell.matmat(x)
         return payload.matmat(x)
 
     def matmat(self, x):
@@ -199,16 +231,66 @@ def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
     return EllMatrix(jnp.asarray(indices), jnp.asarray(values), (m, n))
 
 
+def _hyb_split(a: sp.csr_matrix, dia_fill_limit: float,
+               dia_max_offsets: int):
+    """Pick the diagonals worth storing densely: greedily keep the most
+    occupied ones while the DIA fill (one m-vector per kept diagonal)
+    stays under ``dia_fill_limit`` x the nnz they cover.  Returns
+    (dia_part, ell_part) as scipy matrices, or None if the split isn't
+    worthwhile (covers < 50% of nnz or the remainder isn't small)."""
+    coo = a.tocoo()
+    m = a.shape[0]
+    offs = coo.col - coo.row
+    uniq, counts = np.unique(offs, return_counts=True)
+    order = np.argsort(-counts)
+    kept = []
+    covered = 0
+    for j in order[:dia_max_offsets]:
+        if (len(kept) + 1) * m > dia_fill_limit * (covered + counts[j]):
+            break
+        kept.append(uniq[j])
+        covered += counts[j]
+    if not kept or covered < 0.5 * max(coo.nnz, 1):
+        return None
+    kept_mask = np.isin(offs, kept)
+    if (~kept_mask).sum() == 0:
+        return None  # pure DIA, no remainder
+    dia_part = sp.coo_matrix(
+        (coo.data[kept_mask], (coo.row[kept_mask], coo.col[kept_mask])),
+        shape=a.shape)
+    ell_part = sp.coo_matrix(
+        (coo.data[~kept_mask], (coo.row[~kept_mask], coo.col[~kept_mask])),
+        shape=a.shape).tocsr()
+    # remainder must be skinny, or ELL padding defeats the purpose
+    if np.diff(ell_part.indptr).max() > max(
+            8, 2 * coo.nnz // max(m, 1)):
+        return None
+    return dia_part.tocsr(), ell_part
+
+
+def _hyb_from_scipy(a: sp.csr_matrix, dtype, dia_fill_limit: float,
+                    dia_max_offsets: int) -> Optional[HybMatrix]:
+    split = _hyb_split(a, dia_fill_limit, dia_max_offsets)
+    if split is None:
+        return None
+    dia_part, ell_part = split
+    return HybMatrix(_dia_from_scipy(dia_part, dtype),
+                     _ell_from_scipy(ell_part, dtype), a.shape)
+
+
 def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
                       dia_max_offsets: int = 96, dia_fill_limit: float = 8.0,
                       dtype=None, **tags) -> SparseOperator:
     """Build a device SparseOperator from a scipy sparse matrix.
 
-    fmt: 'auto' | 'dia' | 'ell'.  'auto' picks DIA when the matrix has at
-    most ``dia_max_offsets`` distinct diagonals *and* the DIA fill
-    (d*m values stored for nnz actual entries) stays under
+    fmt: 'auto' | 'dia' | 'hyb' | 'ell'.  'auto' picks DIA when the
+    matrix has at most ``dia_max_offsets`` distinct diagonals *and* the
+    DIA fill (d*m values stored for nnz actual entries) stays under
     ``dia_fill_limit`` - structured-grid Jacobians like the reference's
-    DataErik ocean matrix (54 offsets, fill 4.8x) take the DIA fast path.
+    DataErik ocean matrix (54 offsets, fill 4.8x) take the DIA fast
+    path.  When full DIA doesn't qualify but a subset of diagonals
+    covers most of the nnz, 'auto' falls back to HYB (dense diagonals +
+    ELL remainder); otherwise ELL.
     """
     if dtype is None:
         dtype = jnp.asarray(0.0).dtype
@@ -220,7 +302,7 @@ def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
         n_offsets = len(np.unique(coo.col - coo.row))
         dia_ok = (n_offsets <= dia_max_offsets
                   and n_offsets * m <= dia_fill_limit * max(nnz, 1))
-        fmt = "dia" if dia_ok else "ell"
+        fmt = "dia" if dia_ok else "hyb"
     sym = bool(tags.get("is_symmetric", False))
     if not sym and nnz and m == n and (a != a.T).nnz == 0:
         sym = True
@@ -228,10 +310,21 @@ def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
     if fmt == "dia":
         fwd = _dia_from_scipy(a, dtype)
         bwd = None if sym else _dia_from_scipy(a.T.tocsr(), dtype)
-    elif fmt == "ell":
+    elif fmt == "hyb":
+        fwd = _hyb_from_scipy(a, dtype, dia_fill_limit, dia_max_offsets)
+        if fwd is None:
+            fmt = "ell"
+        elif sym:
+            bwd = None
+        else:
+            bwd = _hyb_from_scipy(
+                a.T.tocsr(), dtype, dia_fill_limit, dia_max_offsets)
+            if bwd is None:  # transpose split can fail independently
+                bwd = _ell_from_scipy(a.T.tocsr(), dtype)
+    if fmt == "ell":
         fwd = _ell_from_scipy(a, dtype)
         bwd = None if sym else _ell_from_scipy(a.T.tocsr(), dtype)
-    else:
+    elif fmt not in ("dia", "hyb"):
         raise ValueError(f"unknown sparse format {fmt!r}")
     return SparseOperator(fwd, bwd, nnz=nnz, **tags)
 

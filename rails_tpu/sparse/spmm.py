@@ -152,14 +152,25 @@ def _dia_spmm_t_impl(data, xt, offsets: Tuple[int, ...], block_rows: int,
 
 def dia_spmm_t(dia: DiaMatrix, xt: jax.Array,
                block_rows: int = 16384) -> jax.Array:
+    # (32768 measured within run-to-run noise of 16384 on v5e; 49152
+    # exceeds the 16MB VMEM scoped limit at s=16)
     """y^T = (A @ x)^T with x given as xt: (s, m).  Pallas TPU kernel."""
     m, n = dia.shape
     offsets = dia.offsets
-    r = min(block_rows, _round_up(m, 128))
+    s = xt.shape[0]
+    d = len(offsets)
     span_lo = max(0, -min(offsets))
     span_hi = max(0, max(offsets))
     pad_l = _round_up(span_lo, 128)
     tail = _round_up(span_hi, 128)
+    # shrink blocks so double-buffered window + out + data + the (s, r)
+    # accumulator fit the 16MB VMEM scoped limit with headroom for
+    # Mosaic temporaries (wide multivectors would otherwise OOM)
+    itemsize = jnp.dtype(xt.dtype).itemsize
+    budget = 10 * 1024 * 1024 - 2 * s * (pad_l + tail) * itemsize
+    r_fit = budget // ((5 * s + 2 * d) * itemsize)
+    block_rows = min(block_rows, max((r_fit // 128) * 128, 1024))
+    r = min(block_rows, _round_up(m, 128))
     win = r + pad_l + tail
     num_blocks = m // r
     # strips handled by the XLA path: full blocks whose xt window
