@@ -80,6 +80,13 @@ class SolverOptions:
     lanczos_reorth: bool = True          # full reorthogonalization in the
                                          # residual Lanczos (the reference
                                          # does not reorthogonalize)
+    precision: str = "standard"          # 'standard' | 'compensated':
+                                         # compensated runs every m-length
+                                         # reduction through the error-free-
+                                         # transform kernels (utils/
+                                         # compensated.py), restoring ~f64-
+                                         # quality Gram/Lanczos/ortho scalars
+                                         # from f32 storage on TPU
     seed: int = 4634
     verbosity: int = 0
 
@@ -93,6 +100,8 @@ class SolverOptions:
         if self.reduced_size <= 0 and self.restart_size > 0:
             # MATLAB: reduced_size = restart_size / 2
             self.reduced_size = self.restart_size // 2
+        if self.precision not in ("standard", "compensated"):
+            raise InvalidOption(f"invalid precision {self.precision!r}")
         if self.restart_tolerance_mode not in ("relative", "absolute"):
             raise InvalidOption(
                 f"invalid restart_tolerance_mode {self.restart_tolerance_mode!r}")

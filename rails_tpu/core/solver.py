@@ -490,6 +490,28 @@ class LyapunovSolver:
         eps = float(jnp.finfo(dtype).eps)
         col_ids = jax.lax.broadcasted_iota(jnp.int32, (kb,), 0)
 
+        if opt.precision == "compensated":
+            # Every m-length contraction rides the error-free-transform
+            # kernels: the long-reduction rounding noise (~sqrt(m)*eps,
+            # the f32 accuracy floor on TPU) drops to ~sqrt(chunk)*eps
+            # (Gram blocks, MXU) / ~eps (Lanczos scalars, VPU).  See
+            # utils/compensated.py; the reference gets this for free
+            # from float64 BLAS (/root/reference/src/BlasWrapper.hpp).
+            from rails_tpu.utils.compensated import dot2, gram2
+
+            def tdot(x, w):
+                """x.T @ w reducing over the long axis m."""
+                return gram2(x, w)
+
+            def vdot_scalar(x, w):
+                return dot2(x[:, 0], w[:, 0])
+        else:
+            def tdot(x, w):
+                return x.T @ w
+
+            def vdot_scalar(x, w):
+                return (x.T @ w)[0, 0]
+
         def b_matmat(x):
             return B_op.matmat(x) if b_arr is None else b_arr @ x
 
@@ -503,10 +525,10 @@ class LyapunovSolver:
         def gram_update(st: SolverState) -> SolverState:
             W = jax.lax.dynamic_slice(st.V, (jnp.int32(0), st.w_start), (m, s_slot))
             AW = A.matmat(W)
-            WAV = W.T @ st.AV
+            WAV = tdot(W, st.AV)
             VAVn = jax.lax.dynamic_update_slice(st.VAV, WAV, (st.w_start, jnp.int32(0)))
             AVn = jax.lax.dynamic_update_slice(st.AV, AW, (jnp.int32(0), st.w_start))
-            VAW = st.V.T @ AW
+            VAW = tdot(st.V, AW)
             VAVn = jax.lax.dynamic_update_slice(VAVn, VAW, (jnp.int32(0), st.w_start))
 
             BW = b_rmatmat(W)
@@ -523,10 +545,10 @@ class LyapunovSolver:
                 MW = M.matmat(W)
                 MVn = jax.lax.dynamic_update_slice(st.MV, MW, (jnp.int32(0), st.w_start))
                 if not mortho:
-                    WMV = W.T @ st.MV
+                    WMV = tdot(W, st.MV)
                     VMVn = jax.lax.dynamic_update_slice(
                         st.VMV, WMV, (st.w_start, jnp.int32(0)))
-                    VMW = st.V.T @ MW
+                    VMW = tdot(st.V, MW)
                     VMVn = jax.lax.dynamic_update_slice(
                         VMVn, VMW, (jnp.int32(0), st.w_start))
             return st._replace(AV=AVn, BV=BVn, MV=MVn, VAV=VAVn, VBV=VBVn,
@@ -586,8 +608,8 @@ class LyapunovSolver:
             /root/reference/src/LyapunovSolver.hpp:388-403)."""
             mv = mv_or_v(st)
             y = b_matmat(b_rmatmat(q))
-            y = y + st.AV @ (st.T @ (mv.T @ q))
-            y = y + mv @ (st.T @ (st.AV.T @ q))
+            y = y + st.AV @ (st.T @ tdot(mv, q))
+            y = y + mv @ (st.T @ tdot(st.AV, q))
             return y
 
         def lanczos(st: SolverState):
@@ -611,13 +633,13 @@ class LyapunovSolver:
                 qbuf, q, q_prev, beta_prev, valid, scale = carry
                 qbuf = qbuf.at[:, j].set(q[:, 0])
                 y = resid_apply(st, q)
-                alpha = (y.T @ q)[0, 0]
+                alpha = vdot_scalar(y, q)
                 y = y - alpha * q - beta_prev * q_prev
                 if opt.lanczos_reorth:
                     # full reorthogonalization (the reference skips this;
                     # it costs 2 m*L GEMMs and buys clean extremal pairs)
-                    y = y - qbuf @ (qbuf.T @ y)
-                beta = jnp.linalg.norm(y)
+                    y = y - qbuf @ tdot(qbuf, y)
+                beta = jnp.sqrt(jnp.maximum(vdot_scalar(y, y), 0.0))
                 scale = jnp.maximum(scale, jnp.abs(alpha) + beta)
                 valid_next = valid & (beta > breakdown * scale)
                 alpha_out = jnp.where(valid, alpha, 0.0)
@@ -698,18 +720,18 @@ class LyapunovSolver:
             wacc = jnp.zeros((m, s_slot), dtype=dtype)
             for i in range(s_slot):
                 w = wraw[:, i:i + 1]
-                n0 = jnp.linalg.norm(w)
+                n0 = jnp.sqrt(jnp.maximum(vdot_scalar(w, w), 0.0))
                 w = w / jnp.where(n0 > 0, n0, 1.0)
                 for _ in range(2):  # two CGS passes
                     if nullspace is not None:
-                        w = w - nullspace @ (nullspace.T @ inner_prep(w))
-                    w = w - st.V @ (st.V.T @ inner_prep(w))
-                    w = w - wacc @ (wacc.T @ inner_prep(w))
+                        w = w - nullspace @ tdot(nullspace, inner_prep(w))
+                    w = w - st.V @ tdot(st.V, inner_prep(w))
+                    w = w - wacc @ tdot(wacc, inner_prep(w))
                 if mortho:
                     n1 = jnp.sqrt(jnp.maximum(
-                        (w.T @ M.matmat(w))[0, 0], 0.0))
+                        vdot_scalar(w, M.matmat(w)), 0.0))
                 else:
-                    n1 = jnp.linalg.norm(w)
+                    n1 = jnp.sqrt(jnp.maximum(vdot_scalar(w, w), 0.0))
                 ok = (n1 > drop_tol) & (n0 > 0)
                 w = jnp.where(ok, w / jnp.where(n1 > 0, n1, 1.0), 0.0)
                 wacc = wacc.at[:, i].set(w[:, 0])
