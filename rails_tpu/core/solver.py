@@ -118,6 +118,15 @@ class LyapunovSolver:
         self.options = options or SolverOptions(**opt_kwargs)
         self.A = as_operator(a)
         self.M = as_operator(m) if m is not None else None
+        if self.options.dtype is not None:
+            # Align payload dtypes with the solve dtype so an operator
+            # built at float64 (scipy default) can drive a float32/TPU
+            # solve without mixed-dtype contractions and scatters.
+            self.A = self.A.astype(self.options.dtype)
+            if self.M is not None:
+                self.M = self.M.astype(self.options.dtype)
+            if isinstance(b, LinearOperator):
+                b = b.astype(self.options.dtype)
         self.mesh = mesh
         b_arr = b
         if isinstance(b, LinearOperator):

@@ -77,6 +77,16 @@ class LinearOperator:
         eye = jnp.eye(self.shape[1])
         return self.matmat(eye)
 
+    def astype(self, dtype) -> "LinearOperator":
+        """Return this operator with numeric payloads cast to ``dtype``.
+
+        Matrix-free operators (no payload) return themselves: their
+        output dtype follows the operand.  Payload-carrying subclasses
+        override so a float64-built operator can drive a float32 solve
+        (TPU) without mixed-dtype scatters.
+        """
+        return self
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
@@ -100,6 +110,9 @@ class _TransposedOperator(LinearOperator):
 
     def rmatmat(self, x):
         return self.base.matmat(x)
+
+    def astype(self, dtype):
+        return _TransposedOperator(self.base.astype(dtype))
 
     def tree_flatten(self):
         return (self.base,), None
@@ -133,6 +146,13 @@ class DenseOperator(LinearOperator):
 
     def to_dense(self):
         return self.a
+
+    def astype(self, dtype):
+        if self.a.dtype == jnp.dtype(dtype):
+            return self
+        return DenseOperator(self.a.astype(dtype),
+                             is_symmetric=self.is_symmetric,
+                             is_spd=self.is_spd, is_hurwitz=self.is_hurwitz)
 
     def tree_flatten(self):
         return (self.a,), (self.is_symmetric, self.is_spd, self.is_hurwitz)
@@ -175,6 +195,11 @@ class DiagonalOperator(LinearOperator):
 
     def to_dense(self):
         return jnp.diag(self.d)
+
+    def astype(self, dtype):
+        if self.d.dtype == jnp.dtype(dtype):
+            return self
+        return DiagonalOperator(self.d.astype(dtype), is_spd=self.is_spd)
 
     def tree_flatten(self):
         return (self.d,), (self.is_spd,)
@@ -284,6 +309,13 @@ class LowRankOperator(LinearOperator):
 
     def rmatmat(self, x):
         return self.w @ (self.u.T @ x)
+
+    def astype(self, dtype):
+        if self.u.dtype == jnp.dtype(dtype) and self.w.dtype == jnp.dtype(dtype):
+            return self
+        sym = self.u is self.w
+        u = self.u.astype(dtype)
+        return LowRankOperator(u, None if sym else self.w.astype(dtype))
 
     def tree_flatten(self):
         return (self.u, self.w), None

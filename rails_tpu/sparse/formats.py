@@ -83,6 +83,11 @@ class DiaMatrix:
             rolled.append(jnp.roll(d, off))
         return DiaMatrix(jnp.stack(rolled), new_offsets, (n, m))
 
+    def astype(self, dtype) -> "DiaMatrix":
+        if self.data.dtype == jnp.dtype(dtype):
+            return self
+        return DiaMatrix(self.data.astype(dtype), self.offsets, self.shape)
+
     def tree_flatten(self):
         return (self.data,), (self.offsets, self.shape)
 
@@ -104,6 +109,11 @@ class EllMatrix:
     def matmat(self, x: jax.Array) -> jax.Array:
         gathered = jnp.take(x, self.indices, axis=0)   # (m, L, s)
         return jnp.einsum("ml,mls->ms", self.values, gathered)
+
+    def astype(self, dtype) -> "EllMatrix":
+        if self.values.dtype == jnp.dtype(dtype):
+            return self
+        return EllMatrix(self.indices, self.values.astype(dtype), self.shape)
 
     def tree_flatten(self):
         return (self.indices, self.values), (self.shape,)
@@ -129,6 +139,10 @@ class HybMatrix:
 
     def matmat(self, x: jax.Array) -> jax.Array:
         return self.dia.matmat(x) + self.ell.matmat(x)
+
+    def astype(self, dtype) -> "HybMatrix":
+        return HybMatrix(self.dia.astype(dtype), self.ell.astype(dtype),
+                         self.shape)
 
     def tree_flatten(self):
         return (self.dia, self.ell), (self.shape,)
@@ -185,6 +199,15 @@ class SparseOperator(LinearOperator):
 
     def to_dense(self):
         return self.fwd.matmat(jnp.eye(self.shape[1]))
+
+    def astype(self, dtype):
+        fwd = self.fwd.astype(dtype)
+        bwd = None if self.bwd is None else self.bwd.astype(dtype)
+        if fwd is self.fwd and bwd is self.bwd:
+            return self
+        return SparseOperator(fwd, bwd, is_symmetric=self.is_symmetric,
+                              is_spd=self.is_spd, is_hurwitz=self.is_hurwitz,
+                              nnz=self.nnz, use_pallas=self.use_pallas)
 
     def tree_flatten(self):
         return (self.fwd, self.bwd), (self.is_symmetric, self.is_spd,
