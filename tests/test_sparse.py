@@ -134,6 +134,40 @@ class TestBackendContract:
             est = float(rails_tpu.operator_norm2(op, iters=100))
             assert abs(est - true) / true < 1e-6, name
 
+    def test_astype_casts_payloads(self, problem):
+        """Operators built at float64 (scipy default) must cast cleanly
+        to the solve dtype (TPU f32 solves of f64-built operators)."""
+        a, x = problem
+        x32 = jnp.asarray(x, jnp.float32)
+        for name, op in make_backends(a).items():
+            op32 = op.astype(jnp.float32)
+            y = op32.matmat(x32)
+            yr = op32.rmatmat(x32)
+            if name != "callable":  # matrix-free output follows operand
+                assert y.dtype == jnp.float32, name
+                assert yr.dtype == jnp.float32, name
+            assert np.allclose(np.asarray(y, np.float64), a @ x,
+                               atol=1e-3), name
+            assert np.allclose(np.asarray(yr, np.float64), a.T @ x,
+                               atol=1e-3), name
+            # idempotent: casting to the same dtype returns self
+            assert op32.astype(jnp.float32) is op32, name
+
+    def test_solver_casts_f64_operator_to_f32(self, rng):
+        """solve(dtype=f32) of an operator built at f64 must not carry
+        mixed-dtype contractions (the TPU deployment shape)."""
+        import warnings as _warnings
+
+        a = sp.diags([1.0, -2.0, 1.0], [-1, 0, 1], (64, 64)).tocsr()
+        aop = sparse_from_scipy(a, is_symmetric=True)  # f64 payload
+        b = jnp.asarray(rng.standard_normal((64, 1)), jnp.float32)
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error", FutureWarning)
+            v, t, info = rails_tpu.solve(aop, b, tol=1e-5,
+                                         dtype=jnp.float32, maxit=80)
+        assert info.converged
+        assert v.dtype == jnp.float32
+
     def test_solver_hosts_every_backend(self, rng, problem):
         """The solver converges identically on every backend - the
         reference's core architectural guarantee (same Solver template,
