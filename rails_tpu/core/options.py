@@ -44,7 +44,10 @@ class SolverOptions:
                                          #  larger than cols(B) are rejected,
                                          #  RAILSsolver.m:216-218)
     lanczos_vectors: Optional[int] = None  # "Lanczos iterations"; None -> max(2*expand, 10)
-    lanczos_tolerance: Optional[float] = None  # eigs tolerance (advisory)
+    lanczos_tolerance: Optional[float] = None  # residual-Lanczos stopping
+                                         # tolerance: the recurrence halts
+                                         # (masked) once beta < tol*scale,
+                                         # mirroring MATLAB eigs opts.tol
 
     # --- restarts ---
     restart_size: int = -1               # "Restart size": max space columns
@@ -87,6 +90,14 @@ class SolverOptions:
                                          # compensated.py), restoring ~f64-
                                          # quality Gram/Lanczos/ortho scalars
                                          # from f32 storage on TPU
+    timevec_chunk: int = 8               # compiled=True runs the
+                                         # while_loop in chunks of this
+                                         # many iterations so timevec has
+                                         # real per-chunk wall-clock marks
+                                         # (exact at chunk boundaries,
+                                         # interpolated within); 0 -> one
+                                         # uninterrupted while_loop and a
+                                         # uniform timevec
     seed: int = 4634
     verbosity: int = 0
 

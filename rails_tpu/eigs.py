@@ -13,6 +13,8 @@ host between sweeps.
 
 from __future__ import annotations
 
+import dataclasses
+import warnings
 from typing import Callable, Optional, Tuple
 
 import jax
@@ -22,7 +24,24 @@ import numpy as np
 from rails_tpu.operators import CallableOperator, LinearOperator
 from rails_tpu.utils.dtypes import highest_precision
 
-__all__ = ["eigs", "eigs_general"]
+__all__ = ["eigs", "eigs_general", "EigsInfo", "EigsConvergenceWarning"]
+
+
+class EigsConvergenceWarning(UserWarning):
+    """Emitted when the eigensolver exhausts its restarts with
+    unconverged pairs - the role of Anasazi's returned solver status
+    (/root/reference/src/Epetra_OperatorWrapper.cpp:188-195 checks the
+    solve outcome; we warn instead of silently returning)."""
+
+
+@dataclasses.dataclass
+class EigsInfo:
+    """Convergence report (the Anasazi status equivalent)."""
+
+    converged: bool            # all requested pairs converged
+    n_converged: int           # leading converged pairs
+    restarts: int              # sweeps/restarts performed
+    residuals: np.ndarray      # ||A v - lambda v|| per returned pair
 
 
 def _as_apply(op) -> Tuple[Callable, int]:
@@ -42,13 +61,16 @@ def eigs(
     drop_tol: Optional[float] = None,
     key: Optional[jax.Array] = None,
     dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
+    return_info: bool = False,
+):
     """Largest-|lambda| eigenpairs of a symmetric operator.
 
-    Returns (eigenvalues, eigenvectors) sorted by |lambda| descending.
-    ``drop_tol`` mirrors the reference's filtering of converged
-    eigenvalues with |lambda| <= tol * |lambda_max|
-    (Epetra_OperatorWrapper.cpp:205-218).
+    Returns (eigenvalues, eigenvectors) sorted by |lambda| descending
+    (plus an EigsInfo when ``return_info=True``).  ``drop_tol`` mirrors
+    the reference's filtering of converged eigenvalues with
+    |lambda| <= tol * |lambda_max| (Epetra_OperatorWrapper.cpp:205-218).
+    Emits EigsConvergenceWarning if restarts are exhausted before the
+    requested pairs converge.
     """
     apply_op, m = _as_apply(op)
     if dtype is None:
@@ -58,7 +80,9 @@ def eigs(
     num = min(num, m)
     if subspace is None:
         subspace = min(m, max(2 * num + 10, 20))
-    L = subspace
+    # a subspace barely larger than num cannot host a thick restart:
+    # grow it (capped by m, where the sweep is exact anyway)
+    L = min(m, max(subspace, num + 2))
     eps = float(jnp.finfo(dtype).eps)
 
     @jax.jit
@@ -111,23 +135,54 @@ def eigs(
     basis = jnp.zeros((m, L), dtype=dtype)
     nb = jnp.int32(0)
     evals = None
-    for restart in range(max_restarts):
+    converged = False
+    restart = 0
+    for restart in range(max(1, max_restarts)):
         ritz, aritz, evals, resid, key = sweep(basis, nb, key)
         scale = jnp.maximum(jnp.abs(evals[0]), eps)
         conv = np.asarray(resid[:num] <= tol * scale)
         if conv.all():
+            converged = True
+            break
+        if L >= m:
+            # full-space sweep = dense eigh of Q'AQ with Q square: exact
+            # up to roundoff; the residual tolerance may simply be
+            # unattainable - do not spin
+            converged = bool(np.asarray(
+                resid[:num] <= np.sqrt(eps) * scale).all())
             break
         # thick restart: keep the leading num + a few Ritz vectors
+        # (converged leading pairs ride along locked in the kept block
+        # and pass through the next sweep unchanged)
         keep = min(num + max(num // 2, 3), L - 2)
         basis = basis.at[:, :keep].set(ritz[:, :keep])
         nb = jnp.int32(keep)
 
+    resid_out = np.asarray(resid[:num])
+    scale = float(max(abs(float(evals[0])), eps))
+    n_conv = 0
+    for r in resid_out:
+        if r <= tol * scale:
+            n_conv += 1
+        else:
+            break
+    if not converged:
+        warnings.warn(
+            f"eigs: {num - n_conv} of {num} requested eigenpairs did not "
+            f"converge to tol={tol:g} in {restart + 1} restarts "
+            f"(max residual {resid_out.max():.3e}, scale {scale:.3e})",
+            EigsConvergenceWarning)
     evals = evals[:num]
     evecs = ritz[:, :num]
     if drop_tol is not None:
         mask = np.asarray(jnp.abs(evals) > drop_tol * jnp.abs(evals[0]))
         evals = evals[mask]
         evecs = evecs[:, mask]
+        resid_out = resid_out[mask]
+    if return_info:
+        info = EigsInfo(converged=converged, n_converged=n_conv,
+                        restarts=restart + 1, residuals=resid_out)
+        return evals, evecs, info
     return evals, evecs
 
 
@@ -137,18 +192,22 @@ def eigs_general(
     *,
     max_restarts: int = 60,
     subspace: Optional[int] = None,
+    tol: float = 1e-8,
     key: Optional[jax.Array] = None,
     dtype=None,
-) -> Tuple[jax.Array, jax.Array]:
+    return_info: bool = False,
+):
     """Largest-|lambda| eigenpairs of a general (nonsymmetric) operator
     via restarted Arnoldi (the nonsymmetric capability of Anasazi's block
     Krylov-Schur, /root/reference/src/Epetra_OperatorWrapper.cpp:147-222;
     MATLAB uses ARPACK ``eigs(A, 1)`` this way in test_random.m:26).
 
-    Returns complex (eigenvalues, eigenvectors), |lambda| descending.
-    The small projected eigenproblem is solved by complex Schur
-    (LAPACK on CPU, our QR-iteration kernel on TPU) + inverse iteration
-    on the triangular factor.
+    Returns complex (eigenvalues, eigenvectors), |lambda| descending
+    (plus an EigsInfo when ``return_info=True``); warns with
+    EigsConvergenceWarning on restart exhaustion.  The small projected
+    eigenproblem is solved by complex Schur (LAPACK on CPU, our
+    QR-iteration kernel on TPU) + inverse iteration on the triangular
+    factor.
     """
     apply_op, m = _as_apply(op)
     if dtype is None:
@@ -157,6 +216,7 @@ def eigs_general(
         key = jax.random.PRNGKey(0)
     num = min(num, m)
     L = subspace or min(m, max(4 * num + 20, 30))
+    L = min(m, max(L, num + 2))
     eps = float(jnp.finfo(dtype).eps)
 
     from rails_tpu.linalg.schur_qr import complex_schur
@@ -221,7 +281,10 @@ def eigs_general(
         return q, h
 
     best = None
-    for _ in range(max_restarts):
+    converged = False
+    restart = 0
+    resid = None
+    for restart in range(max(1, max_restarts)):
         q, h = arnoldi(q0)
         lam, svecs = small_eig(h[:L, :L])
         order = jnp.argsort(-jnp.abs(lam))
@@ -230,13 +293,56 @@ def eigs_general(
         ritz = q.astype(cdtype) @ svecs[:, :num]
         ritz = ritz / jnp.linalg.norm(ritz, axis=0, keepdims=True)
         av = apply_op(jnp.real(ritz)) + 1j * apply_op(jnp.imag(ritz))
-        resid = jnp.linalg.norm(av - ritz * lam[None, :num], axis=0)
+        resid = av - ritz * lam[None, :num]
+        rnorm = jnp.linalg.norm(resid, axis=0)
         best = (lam[:num], ritz)
-        if float(jnp.max(resid)) <= 1e-8 * float(jnp.abs(lam[0])) + 1e-300:
+        scale = float(jnp.abs(lam[0])) + 1e-300
+        conv_mask = np.asarray(rnorm <= tol * scale)
+        if conv_mask.all() or L >= m:
+            # L >= m: the Arnoldi factorization is exact up to roundoff;
+            # accept sqrt(eps)-level residuals rather than spinning
+            converged = bool(conv_mask.all()) or (
+                L >= m and bool(np.asarray(
+                    rnorm <= np.sqrt(eps) * scale).all()))
             break
-        # restart biased toward the unconverged Ritz directions
-        w = jnp.where(resid > 1e-8 * jnp.abs(lam[0]), 1.0, 1e-3)
+        # restart from a mix of all unconverged Ritz vectors (explicit
+        # restart spanning every wanted direction), deflated against the
+        # converged Ritz directions so locked pairs stay out of the new
+        # Krylov direction
+        w = jnp.asarray(~conv_mask, dtype=dtype)
         mix = ritz @ w.astype(cdtype)
-        q0 = jnp.real(mix) + 0.3 * jnp.imag(mix)
-        q0 = q0 / jnp.linalg.norm(q0)
+        vec = jnp.real(mix) + 0.5 * jnp.imag(mix)
+        locked = ritz[:, conv_mask] if conv_mask.any() else None
+        if locked is not None:
+            lr = jnp.concatenate(
+                [jnp.real(locked), jnp.imag(locked)], axis=1)
+            nl = jnp.linalg.norm(lr, axis=0)
+            lr = lr[:, np.asarray(nl > 1e-12)]
+            if lr.shape[1]:
+                lq, _ = jnp.linalg.qr(lr)
+                vec = vec - lq @ (lq.T @ vec)
+        nrm = float(jnp.linalg.norm(vec))
+        if nrm < eps * 100:
+            key, sub = jax.random.split(key)
+            vec = jax.random.normal(sub, (m,), dtype=dtype)
+            nrm = float(jnp.linalg.norm(vec))
+        q0 = vec / nrm
+    rnorm_out = np.asarray(jnp.linalg.norm(resid, axis=0))
+    scale = float(jnp.abs(best[0][0])) + 1e-300
+    n_conv = 0
+    for r in rnorm_out:
+        if r <= tol * scale:
+            n_conv += 1
+        else:
+            break
+    if not converged:
+        warnings.warn(
+            f"eigs_general: {num - n_conv} of {num} requested eigenpairs "
+            f"did not converge to tol={tol:g} in {restart + 1} restarts "
+            f"(max residual {rnorm_out.max():.3e}, scale {scale:.3e})",
+            EigsConvergenceWarning)
+    if return_info:
+        info = EigsInfo(converged=converged, n_converged=n_conv,
+                        restarts=restart + 1, residuals=rnorm_out)
+        return best[0], best[1], info
     return best

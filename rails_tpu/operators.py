@@ -73,6 +73,15 @@ class LinearOperator:
     def T(self) -> "LinearOperator":
         return _TransposedOperator(self)
 
+    @property
+    def payload_dtype(self):
+        """dtype of the numeric payload, or None for matrix-free ops."""
+        for attr in ("a", "d", "u"):
+            x = getattr(self, attr, None)
+            if x is not None and hasattr(x, "dtype"):
+                return x.dtype
+        return None
+
     def to_dense(self) -> jax.Array:
         eye = jnp.eye(self.shape[1])
         return self.matmat(eye)
@@ -81,9 +90,12 @@ class LinearOperator:
         """Return this operator with numeric payloads cast to ``dtype``.
 
         Matrix-free operators (no payload) return themselves: their
-        output dtype follows the operand.  Payload-carrying subclasses
-        override so a float64-built operator can drive a float32 solve
-        (TPU) without mixed-dtype scatters.
+        output dtype follows the operand.  Caveat: a CallableOperator
+        whose closure captures constants of a *different* dtype will
+        still promote the result (closed-over constants are not cast) -
+        build the closure at the solve dtype.  Payload-carrying
+        subclasses override so a float64-built operator can drive a
+        float32 solve (TPU) without mixed-dtype scatters.
         """
         return self
 

@@ -13,44 +13,56 @@ Epetra SpMV does (column-halo import inside Epetra_CrsMatrix::Apply,
 - the bulk (interior) contribution depends only on local data, so XLA's
   latency-hiding scheduler overlaps it with the permutes: the code
   computes ``y = interior(x_local) + boundary(halos)`` with the first
-  term collective-free.
+  term collective-free - and the interior SpMM rides the per-chip Pallas
+  kernel on TPU (``dia_spmm`` dispatch), which the pure-GSPMD path
+  cannot do (an unpartitionable pallas_call would be replicated by the
+  partitioner).
 
 Boundary devices receive zeros from ppermute's non-cyclic permutation,
 which is exactly the Dirichlet zero-padding the dense formats use.
+
+``LyapunovSolver(mesh=...)`` routes DIA operators through
+``HaloDiaOperator`` whenever the slab geometry allows (see
+``parallel.sharded.shard_operator``), so the production multi-chip path
+is the overlapped-halo Pallas one, not the partitioner-derived fallback.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rails_tpu.operators import LinearOperator
-from rails_tpu.parallel.mesh import ROW_AXIS
+from rails_tpu.parallel.mesh import ROW_AXIS, col_sharding, row_sharding
 from rails_tpu.sparse.formats import DiaMatrix
 
-__all__ = ["halo_dia_spmm", "HaloDiaOperator"]
+__all__ = ["halo_dia_spmm", "HaloDiaOperator", "halo_geometry_ok"]
 
 
-def halo_dia_spmm(dia: DiaMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
-    """A @ x with explicit neighbor halo exchange over the mesh.
-
-    ``dia.data`` must be (d, m) and ``x`` (m, s) with m divisible by the
-    mesh size; both are (re)sharded along rows.
-    """
-    offsets = dia.offsets
-    m, _ = dia.shape
+def halo_geometry_ok(dia: DiaMatrix, mesh: Mesh) -> bool:
+    """True when the slab decomposition supports the halo exchange:
+    square, rows divisible by the mesh, stencil span within one slab."""
+    m, n = dia.shape
     nd = mesh.devices.size
-    if m % nd:
-        raise ValueError(f"rows {m} not divisible by mesh size {nd}")
+    if m != n or m % nd:
+        return False
+    m_loc = m // nd
+    span_lo = max(0, -min(dia.offsets))
+    span_hi = max(0, max(dia.offsets))
+    return span_lo < m_loc and span_hi < m_loc
+
+
+def _halo_spmm_sharded(data, x, offsets: Tuple[int, ...], mesh: Mesh):
+    """shard_map body; data (d, m) sharded on cols, x (m, s) on rows."""
+    m = x.shape[0]
+    nd = mesh.devices.size
+    m_loc = m // nd
     span_lo = max(0, -min(offsets))
     span_hi = max(0, max(offsets))
-    m_loc = m // nd
-    if span_lo >= m_loc or span_hi >= m_loc:
-        raise ValueError("stencil span exceeds the per-device slab")
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -73,7 +85,6 @@ def halo_dia_spmm(dia: DiaMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
 
         y = dia_spmm(DiaMatrix(data_loc, offsets, (m_loc, m_loc)), x_loc)
         # boundary corrections once the halos arrive
-        s = x_loc.shape[1]
         for k, off in enumerate(offsets):
             if off < 0 and halo_lo is not None:
                 # rows i in [0, -off): x[i + off] lives in the lower halo
@@ -89,17 +100,44 @@ def halo_dia_spmm(dia: DiaMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
                 y = y.at[m_loc - w:, :].add(contrib)
         return y
 
+    return run(data, x)
+
+
+def halo_dia_spmm(dia: DiaMatrix, x: jax.Array, mesh: Mesh) -> jax.Array:
+    """A @ x with explicit neighbor halo exchange over the mesh.
+
+    ``dia.data`` must be (d, m) and ``x`` (m, s) with m divisible by the
+    mesh size; both are (re)sharded along rows.
+    """
+    m, _ = dia.shape
+    nd = mesh.devices.size
+    if m % nd:
+        raise ValueError(f"rows {m} not divisible by mesh size {nd}")
+    if not halo_geometry_ok(dia, mesh):
+        raise ValueError("stencil span exceeds the per-device slab")
     data = jax.device_put(dia.data, NamedSharding(mesh, P(None, ROW_AXIS)))
     x = jax.device_put(x, NamedSharding(mesh, P(ROW_AXIS, None)))
-    return run(data, x)
+    return _halo_spmm_sharded(data, x, dia.offsets, mesh)
 
 
 @jax.tree_util.register_pytree_node_class
 class HaloDiaOperator(LinearOperator):
-    """LinearOperator running the explicit-halo distributed SpMM."""
+    """LinearOperator running the explicit-halo distributed SpMM.
 
-    def __init__(self, dia: DiaMatrix, mesh: Mesh, bwd: DiaMatrix = None,
-                 *, is_symmetric=False, is_spd=False, is_hurwitz=False):
+    Payloads are placed (data col-sharded over the mesh) at
+    construction; ``matmat`` then runs collective-minimal inside any
+    enclosing jit without per-call resharding."""
+
+    def __init__(self, dia: DiaMatrix, mesh: Mesh,
+                 bwd: Optional[DiaMatrix] = None, *,
+                 is_symmetric=False, is_spd=False, is_hurwitz=False,
+                 _placed=False):
+        if not _placed:
+            dia = DiaMatrix(jax.device_put(dia.data, col_sharding(mesh)),
+                            dia.offsets, dia.shape)
+            if bwd is not None:
+                bwd = DiaMatrix(jax.device_put(bwd.data, col_sharding(mesh)),
+                                bwd.offsets, bwd.shape)
         self.dia = dia
         self.bwd = bwd
         self.mesh = mesh
@@ -111,13 +149,35 @@ class HaloDiaOperator(LinearOperator):
     def shape(self):
         return self.dia.shape
 
+    @property
+    def payload_dtype(self):
+        return self.dia.data.dtype
+
+    def astype(self, dtype):
+        dia = self.dia.astype(dtype)
+        bwd = None if self.bwd is None else self.bwd.astype(dtype)
+        if dia is self.dia and bwd is self.bwd:
+            return self
+        return HaloDiaOperator(dia, self.mesh, bwd,
+                               is_symmetric=self.is_symmetric,
+                               is_spd=self.is_spd,
+                               is_hurwitz=self.is_hurwitz, _placed=True)
+
     def matmat(self, x):
-        return halo_dia_spmm(self.dia, x, self.mesh)
+        return _halo_spmm_sharded(self.dia.data, x, self.dia.offsets,
+                                  self.mesh)
 
     def rmatmat(self, x):
         if self.bwd is None:
             return self.matmat(x)
-        return halo_dia_spmm(self.bwd, x, self.mesh)
+        return _halo_spmm_sharded(self.bwd.data, x, self.bwd.offsets,
+                                  self.mesh)
+
+    def to_dense(self):
+        eye = jax.device_put(jnp.eye(self.shape[1],
+                                     dtype=self.dia.data.dtype),
+                             row_sharding(self.mesh))
+        return self.matmat(eye)
 
     def tree_flatten(self):
         return (self.dia, self.bwd), (self.mesh, self.is_symmetric,

@@ -50,8 +50,20 @@ def _shard_payload(payload, mesh):
     raise TypeError(type(payload))
 
 
-def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
-    """Place an operator's payload row-sharded on the mesh."""
+def shard_operator(op: LinearOperator, mesh: Mesh,
+                   spmm: str = "auto") -> LinearOperator:
+    """Place an operator's payload row-sharded on the mesh.
+
+    ``spmm`` picks the distributed SpMM strategy for DIA payloads:
+    'halo' routes applies through the explicit-halo shard_map operator
+    (ppermute neighbor exchange overlapping a per-chip Pallas kernel -
+    the reference's Epetra Apply pattern,
+    /root/reference/src/Epetra_OperatorWrapper.cpp:75-91), 'gspmd'
+    leaves communication to the partitioner (Pallas disabled), 'auto'
+    uses halo whenever the slab geometry allows.
+    """
+    if spmm not in ("auto", "halo", "gspmd"):
+        raise ValueError(f"unknown spmm strategy {spmm!r}")
     if isinstance(op, DenseOperator):
         return DenseOperator(
             jax.device_put(op.a, row_sharding(mesh)),
@@ -63,6 +75,21 @@ def shard_operator(op: LinearOperator, mesh: Mesh) -> LinearOperator:
                 mesh, jax.sharding.PartitionSpec("rows"))),
             is_spd=op.is_spd)
     if isinstance(op, SparseOperator):
+        if spmm != "gspmd" and isinstance(op.fwd, DiaMatrix):
+            from rails_tpu.parallel.halo_spmm import (
+                HaloDiaOperator, halo_geometry_ok)
+            bwd_ok = op.bwd is None or isinstance(op.bwd, DiaMatrix)
+            if bwd_ok and halo_geometry_ok(op.fwd, mesh) and (
+                    op.bwd is None or halo_geometry_ok(op.bwd, mesh)):
+                return HaloDiaOperator(
+                    op.fwd, mesh, op.bwd,
+                    is_symmetric=op.is_symmetric, is_spd=op.is_spd,
+                    is_hurwitz=op.is_hurwitz)
+            if spmm == "halo":
+                raise ValueError(
+                    "spmm='halo' requires a square DIA payload with rows "
+                    "divisible by the mesh and stencil span within one "
+                    "per-device slab")
         bwd = None if op.bwd is None else _shard_payload(op.bwd, mesh)
         return SparseOperator(
             _shard_payload(op.fwd, mesh), bwd,

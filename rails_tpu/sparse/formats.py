@@ -141,8 +141,11 @@ class HybMatrix:
         return self.dia.matmat(x) + self.ell.matmat(x)
 
     def astype(self, dtype) -> "HybMatrix":
-        return HybMatrix(self.dia.astype(dtype), self.ell.astype(dtype),
-                         self.shape)
+        dia = self.dia.astype(dtype)
+        ell = self.ell.astype(dtype)
+        if dia is self.dia and ell is self.ell:
+            return self
+        return HybMatrix(dia, ell, self.shape)
 
     def tree_flatten(self):
         return (self.dia, self.ell), (self.shape,)
@@ -179,6 +182,13 @@ class SparseOperator(LinearOperator):
         if isinstance(self.fwd, DiaMatrix):
             return "dia"
         return "hyb" if isinstance(self.fwd, HybMatrix) else "ell"
+
+    @property
+    def payload_dtype(self):
+        p = self.fwd
+        if isinstance(p, HybMatrix):
+            p = p.dia
+        return p.data.dtype if isinstance(p, DiaMatrix) else p.values.dtype
 
     def _apply(self, payload, x):
         if self.use_pallas and isinstance(payload, DiaMatrix):
@@ -221,6 +231,39 @@ class SparseOperator(LinearOperator):
         (obj.is_symmetric, obj.is_spd, obj.is_hurwitz, obj.nnz,
          obj.use_pallas) = aux
         return obj
+
+
+def payload_to_scipy(p) -> sp.csr_matrix:
+    """Host-side inverse of sparse_from_scipy for a device payload
+    (diagnostics: condest checks, test oracles)."""
+    if isinstance(p, DiaMatrix):
+        m, n = p.shape
+        data = np.asarray(p.data)
+        rows, cols, vals = [], [], []
+        for k, off in enumerate(p.offsets):
+            lo, hi = max(0, -off), min(m, n - off)
+            if hi <= lo:
+                continue
+            i = np.arange(lo, hi)
+            rows.append(i)
+            cols.append(i + off)
+            vals.append(data[k, lo:hi])
+        return sp.coo_matrix(
+            (np.concatenate(vals), (np.concatenate(rows),
+                                    np.concatenate(cols))),
+            shape=p.shape).tocsr()
+    if isinstance(p, EllMatrix):
+        ind = np.asarray(p.indices)
+        val = np.asarray(p.values)
+        m, ell_l = ind.shape
+        rows = np.repeat(np.arange(m), ell_l)
+        out = sp.coo_matrix((val.ravel(), (rows, ind.ravel())),
+                            shape=p.shape).tocsr()
+        out.eliminate_zeros()
+        return out
+    if isinstance(p, HybMatrix):
+        return (payload_to_scipy(p.dia) + payload_to_scipy(p.ell)).tocsr()
+    raise TypeError(type(p))
 
 
 def _dia_from_scipy(a: sp.spmatrix, dtype) -> DiaMatrix:
