@@ -30,7 +30,8 @@ from rails_tpu.core.options import (  # noqa: F401
     SolverOptions,
 )
 from rails_tpu.core.solver import LyapunovSolver, SolveInfo, solve  # noqa: F401
-from rails_tpu.eigs import eigs  # noqa: F401
+from rails_tpu.eigs import eigs, eigs_general, EigsConvergenceWarning  # noqa: F401
+from rails_tpu.refine import RefineInfo, solve_refined  # noqa: F401
 from rails_tpu.schur import SchurReduction, schur_reduce  # noqa: F401
 from rails_tpu.sparse.formats import (  # noqa: F401
     DiaMatrix,

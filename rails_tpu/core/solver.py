@@ -114,8 +114,15 @@ class LyapunovSolver:
     """
 
     def __init__(self, a, b, m=None, options: Optional[SolverOptions] = None,
-                 mesh=None, spmm: str = "auto", **opt_kwargs):
+                 mesh=None, spmm: str = "auto", b_sign=None, **opt_kwargs):
+        """``b_sign``: optional small symmetric (p, p) matrix S making the
+        RHS the *signed* low-rank form B S B' instead of B B'.  The
+        iteratively-refined driver (rails_tpu.refine) uses this to solve
+        correction equations whose right-hand side - the residual of a
+        previous stage - is symmetric indefinite.  No reference analogue
+        (the reference is f64-only and never needs defect correction)."""
         self.options = options or SolverOptions(**opt_kwargs)
+        self.b_sign = None if b_sign is None else jnp.asarray(b_sign)
         self.A = as_operator(a)
         self.M = as_operator(m) if m is not None else None
         if self.options.dtype is not None:
@@ -140,6 +147,12 @@ class LyapunovSolver:
                 self.M = self.M.astype(self.options.dtype)
             if isinstance(b, LinearOperator):
                 b = b.astype(self.options.dtype)
+            if self.b_sign is not None:
+                self.b_sign = self.b_sign.astype(self.options.dtype)
+        if self.b_sign is not None:
+            s = self.b_sign
+            if s.ndim != 2 or s.shape[0] != s.shape[1]:
+                raise InvalidOption("b_sign must be a square (p, p) matrix")
         self.mesh = mesh
         b_arr = b
         if isinstance(b, LinearOperator):
@@ -402,7 +415,20 @@ class LyapunovSolver:
         """||B||_2^2 = ||B'B||_2, the residual normalization r0
         (C++ r0 = B_.norm() used as tol*r0^2,
         /root/reference/src/LyapunovSolver.hpp:134,223; MATLAB
-        r0 = norm(full(B'*B), 2), RAILSsolver.m:335)."""
+        r0 = norm(full(B'*B), 2), RAILSsolver.m:335).  With a signed
+        factor this is ||B S B'||_2 = ||(B'B)^1/2 S (B'B)^1/2||_2."""
+        if self.b_sign is not None:
+            if self._b_is_operator:
+                p = self.B.shape[1]
+                bb = self.B.rmatmat(self.B.matmat(jnp.eye(
+                    p, dtype=self.b_sign.dtype)))
+            else:
+                bb = self._b_array.T @ self._b_array
+            lam, u = jnp.linalg.eigh(0.5 * (bb + bb.T))
+            half = (u * jnp.sqrt(jnp.maximum(lam, 0.0))[None, :]) @ u.T
+            core = half @ self.b_sign @ half
+            return jnp.max(jnp.abs(jnp.linalg.eigvalsh(
+                0.5 * (core + core.T))))
         if self._b_is_operator:
             return operator_norm2(self.B) ** 2
         bb = self._b_array.T @ self._b_array
@@ -508,7 +534,9 @@ class LyapunovSolver:
         bv0 = self._b_rmatmat(v0)
         BV = jnp.zeros((p, kb), dtype=dtype).at[:, :k0].set(bv0)
         VAV = jnp.zeros((kb, kb), dtype=dtype).at[:k0, :k0].set(v0.T @ av0)
-        VBV = jnp.zeros((kb, kb), dtype=dtype).at[:k0, :k0].set(bv0.T @ bv0)
+        vbv0 = bv0.T @ bv0 if self.b_sign is None \
+            else bv0.T @ self.b_sign.astype(dtype) @ bv0
+        VBV = jnp.zeros((kb, kb), dtype=dtype).at[:k0, :k0].set(vbv0)
         if has_m and not mortho:
             mv0 = self.M.matmat(v0)
             MV = jnp.zeros((m, kb), dtype=dtype).at[:, :k0].set(mv0)
@@ -618,11 +646,18 @@ class LyapunovSolver:
             def vdot_scalar(x, w):
                 return (x.T @ w)[0, 0]
 
+        b_sign = None if self.b_sign is None \
+            else self.b_sign.astype(dtype)
+
         def b_matmat(x):
             return B_op.matmat(x) if b_arr is None else b_arr @ x
 
         def b_rmatmat(x):
             return B_op.rmatmat(x) if b_arr is None else b_arr.T @ x
+
+        def sgn(x):
+            """Insert the signed middle factor: B S B' instead of B B'."""
+            return x if b_sign is None else b_sign @ x
 
         def mv_or_v(st):
             return st.MV if has_m else st.V
@@ -638,10 +673,10 @@ class LyapunovSolver:
             VAVn = jax.lax.dynamic_update_slice(VAVn, VAW, (jnp.int32(0), st.w_start))
 
             BW = b_rmatmat(W)
-            WBV = BW.T @ st.BV
+            WBV = BW.T @ sgn(st.BV)
             VBVn = jax.lax.dynamic_update_slice(st.VBV, WBV, (st.w_start, jnp.int32(0)))
             VBVn = jax.lax.dynamic_update_slice(VBVn, WBV.T, (jnp.int32(0), st.w_start))
-            WBW = BW.T @ BW
+            WBW = BW.T @ sgn(BW)
             VBVn = jax.lax.dynamic_update_slice(
                 VBVn, WBW, (st.w_start, st.w_start))
             BVn = jax.lax.dynamic_update_slice(st.BV, BW, (jnp.int32(0), st.w_start))
@@ -713,7 +748,7 @@ class LyapunovSolver:
             application of the residual (C++ resid_lanczos inner ops,
             /root/reference/src/LyapunovSolver.hpp:388-403)."""
             mv = mv_or_v(st)
-            y = b_matmat(b_rmatmat(q))
+            y = b_matmat(sgn(b_rmatmat(q)))
             y = y + st.AV @ (st.T @ tdot(mv, q))
             y = y + mv @ (st.T @ tdot(st.AV, q))
             return y

@@ -72,6 +72,29 @@ class DiaMatrix:
                 y = y.at[lo:hi].add(contrib)
         return y
 
+    def matmat2(self, x: jax.Array):
+        """Error-free A @ x: returns (hi, lo) with A x = hi + lo up to
+        O(eps^2).  Each product rides two_prod, each accumulation
+        two_sum (Ogita-Rump-Oishi EFTs; see utils/compensated.py).
+        Feeds the exact residual factorization of the refined driver
+        (rails_tpu/refine.py) - f32 storage, f64-quality factor."""
+        from rails_tpu.utils.compensated import two_prod, two_sum
+
+        m, n = self.shape
+        hi = jnp.zeros((m,) + x.shape[1:], dtype=x.dtype)
+        lo = jnp.zeros_like(hi)
+        for idx, off in enumerate(self.offsets):
+            diag = self.data[idx]
+            lo_i, hi_i = (0, min(m, n - off)) if off >= 0 \
+                else (-off, min(m, n - off))
+            if hi_i <= lo_i:
+                continue
+            p, e = two_prod(diag[lo_i:hi_i, None], x[lo_i + off:hi_i + off])
+            s, e2 = two_sum(hi[lo_i:hi_i], p)
+            hi = hi.at[lo_i:hi_i].set(s)
+            lo = lo.at[lo_i:hi_i].add(e + e2)
+        return hi, lo
+
     def transpose(self) -> "DiaMatrix":
         """A'[j, i]: diagonal o of A becomes diagonal -o of A', with data
         re-indexed so data'[-o][i] = data[o][i - o]."""
@@ -107,8 +130,31 @@ class EllMatrix:
     shape: Tuple[int, int]           # static
 
     def matmat(self, x: jax.Array) -> jax.Array:
-        gathered = jnp.take(x, self.indices, axis=0)   # (m, L, s)
-        return jnp.einsum("ml,mls->ms", self.values, gathered)
+        # one (m, s) gather + fused multiply-add per slot: peak memory
+        # O(m*s), not the O(m*L*s) of a single big-gather einsum (at
+        # MOC-like L~30 that temporary was 30x the operand)
+        m, ell_l = self.indices.shape
+        y = jnp.zeros((m,) + x.shape[1:], dtype=x.dtype)
+        vshape = (m,) + (1,) * (x.ndim - 1)
+        for l in range(ell_l):
+            y = y + self.values[:, l].reshape(vshape) * jnp.take(
+                x, self.indices[:, l], axis=0)
+        return y
+
+    def matmat2(self, x: jax.Array):
+        """Error-free A @ x -> (hi, lo); see DiaMatrix.matmat2."""
+        from rails_tpu.utils.compensated import two_prod, two_sum
+
+        m, ell_l = self.indices.shape
+        hi = jnp.zeros((m,) + x.shape[1:], dtype=x.dtype)
+        lo = jnp.zeros_like(hi)
+        vshape = (m,) + (1,) * (x.ndim - 1)
+        for l in range(ell_l):
+            p, e = two_prod(self.values[:, l].reshape(vshape),
+                            jnp.take(x, self.indices[:, l], axis=0))
+            hi, e2 = two_sum(hi, p)
+            lo = lo + e + e2
+        return hi, lo
 
     def astype(self, dtype) -> "EllMatrix":
         if self.values.dtype == jnp.dtype(dtype):
@@ -139,6 +185,14 @@ class HybMatrix:
 
     def matmat(self, x: jax.Array) -> jax.Array:
         return self.dia.matmat(x) + self.ell.matmat(x)
+
+    def matmat2(self, x: jax.Array):
+        from rails_tpu.utils.compensated import two_sum
+
+        h1, l1 = self.dia.matmat2(x)
+        h2, l2 = self.ell.matmat2(x)
+        hi, e = two_sum(h1, h2)
+        return hi, l1 + l2 + e
 
     def astype(self, dtype) -> "HybMatrix":
         dia = self.dia.astype(dtype)
@@ -203,6 +257,10 @@ class SparseOperator(LinearOperator):
 
     def matmat(self, x):
         return self._apply(self.fwd, x)
+
+    def matmat2(self, x):
+        """Error-free apply (hi, lo) for the refined driver."""
+        return self.fwd.matmat2(x)
 
     def rmatmat(self, x):
         return self._apply(self.fwd if self.bwd is None else self.bwd, x)

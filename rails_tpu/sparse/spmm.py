@@ -11,14 +11,15 @@ utilization; this kernel reads V once and runs full-lane.
 Zero-copy edges: the kernel reads the *unpadded* xt directly (a padded
 copy would add a full HBM read+write per apply - measured as the
 dominant cost of the v1 kernel).  Interior row blocks DMA a
-``[blk*R - pad_l, blk*R + R + tail)`` window from xt, which keeps every
-diagonal slice start static and 128-aligned-friendly; the few blocks
-whose window would poke outside [0, m) are computed by a cheap XLA
-slice-add on a small strip and patched in afterwards.
+``[blk*R - pad_l, blk*R + R + tail)`` window from xt; the first and last
+full blocks DMA the in-range part of their window and mask the missing
+edge lanes at compute time (static masks) - no XLA patch passes.  Only
+the ``m % R`` remainder rows fall back to a small XLA slice-add strip.
 
 ``dia_spmm(dia, x)`` is the layout-compatible wrapper: on TPU float32 it
-transposes in and out of the (s, m) layout (XLA fuses these into
-copies); elsewhere it falls back to the jnp slice-add path.
+transposes in and out of the (s, m) layout; measurements on v5e show the
+transposes cost < 1% (the kernel is the bottleneck), so the wrapper is
+fine for solver use where V lives in (m, k) layout.
 
 This is the BASELINE.md north-star SpMM: per-chip speed-of-light on
 structured (stencil) sparsity; under row sharding the window overlap is
@@ -64,10 +65,12 @@ def _edge_block_t(data, xt, offsets, r0, r1):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "block_rows", "pad_l", "tail", "patches"))
+    static_argnames=("offsets", "block_rows", "pad_l", "tail", "rem"))
 def _dia_spmm_t_impl(data, xt, offsets: Tuple[int, ...], block_rows: int,
-                     pad_l: int, tail: int,
-                     patches: Tuple[Tuple[int, int], ...]):
+                     pad_l: int, tail: int, rem: int):
+    """Pallas kernel over all FULL blocks; the first/last blocks' missing
+    window lanes are masked in-kernel (static masks), and only the
+    ``rem = m % r`` remainder rows are patched by the XLA path."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -75,66 +78,130 @@ def _dia_spmm_t_impl(data, xt, offsets: Tuple[int, ...], block_rows: int,
     s = xt.shape[0]
     r = block_rows
     win = r + pad_l + tail
-    # Grid over FULL, in-bounds blocks only - no masked partial blocks.
-    num_blocks = m // r
-    patch_starts = {p0 for p0, _ in patches}
+    nb = m // r
+    # edge-block typing (static): block 0 is special when pad_l > 0; the
+    # last full block is special when its window would poke past m
+    first_special = pad_l > 0
+    last_special = (nb * r + tail) > m
 
     def kernel(data_ref, xt_ref, out_ref, w_ref, sems):
         i = pl.program_id(0)
-        nb = pl.num_programs(0)
-        is_interior = jnp.full((), True)
-        nxt_interior = (i + 1) < nb
-        for b in sorted(patch_starts):
-            if b % r:
-                continue
-            is_interior &= i != b // r
-            nxt_interior &= (i + 1) != b // r
 
-        def window_dma(slot, blk):
+        def dma_first(slot):
+            # window rows [-pad_l, 0) don't exist: fill w[:, pad_l:] and
+            # mask the missing prefix at compute time
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(0, r + tail)],
+                w_ref.at[slot, :, pl.ds(pad_l, r + tail)], sems.at[slot])
+
+        def dma_interior(slot, blk):
             # r and pad_l are multiples of 128, so the start is too
             start = pl.multiple_of(blk * r - pad_l, 128)
             return pltpu.make_async_copy(
                 xt_ref.at[:, pl.ds(start, win)], w_ref.at[slot],
                 sems.at[slot])
 
-        if 0 not in patch_starts:
-            # block 0 is interior (pad_l == 0): start its own window.
-            # (Guarded at trace time: with pad_l > 0 this branch would
-            # bake the negative constant address -pad_l into the DMA,
-            # which Mosaic rejects even under a false pl.when.)
-            @pl.when(i == 0)
+        def dma_last(slot):
+            # copy up to m, mask the missing suffix at compute time
+            have = pad_l + r + rem       # rows [(nb-1)*r - pad_l, m)
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds((nb - 1) * r - pad_l, have)],
+                w_ref.at[slot, :, pl.ds(0, have)], sems.at[slot])
+
+        def start_dma(blk):
+            slot = blk % 2
+            lo_ok = (blk > 0) if first_special else (blk >= 0)
+            hi_ok = (blk < nb - 1) if last_special else (blk < nb)
+            if first_special:
+                @pl.when(blk == 0)
+                def _():
+                    dma_first(slot).start()
+            if last_special:
+                @pl.when(blk == nb - 1)
+                def _():
+                    dma_last(slot).start()
+
+            @pl.when(lo_ok & hi_ok)
             def _():
-                window_dma(0, 0).start()
+                dma_interior(slot, blk).start()
 
-        @pl.when(nxt_interior)
-        def _():
-            window_dma((i + 1) % 2, i + 1).start()
+        def wait_dma(blk):
+            # the wait must name the same-shape copy (DMA semaphores
+            # count bytes), so mirror start_dma's type dispatch
+            slot = blk % 2
+            lo_ok = (blk > 0) if first_special else (blk >= 0)
+            hi_ok = (blk < nb - 1) if last_special else (blk < nb)
+            if first_special:
+                @pl.when(blk == 0)
+                def _():
+                    dma_first(slot).wait()
+            if last_special:
+                @pl.when(blk == nb - 1)
+                def _():
+                    dma_last(slot).wait()
 
-        @pl.when(is_interior)
+            @pl.when(lo_ok & hi_ok)
+            def _():
+                dma_interior(slot, blk).wait()
+
+        @pl.when(i == 0)
         def _():
-            slot = i % 2
-            window_dma(slot, i).wait()
+            start_dma(0)
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_dma(i + 1)
+
+        wait_dma(i)
+        slot = i % 2
+
+        def acc_for(mask_kind):
             acc = jnp.zeros((s, r), dtype=jnp.float32)
+            lane = None
+            if mask_kind is not None:
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
             for idx, off in enumerate(offsets):
                 a0 = pad_l + off
                 diag = data_ref[idx, :]
-                acc = acc + diag[None, :] * w_ref[slot, :, a0:a0 + r]
-            out_ref[:] = acc.astype(out_ref.dtype)
+                contrib = diag[None, :] * w_ref[slot, :, a0:a0 + r]
+                if mask_kind == "first" and off < 0:
+                    # rows j < -off would read x[j + off] < 0
+                    contrib = jnp.where(lane >= -off, contrib, 0.0)
+                elif mask_kind == "last" and off > rem:
+                    # rows with (nb-1)*r + j + off >= m
+                    contrib = jnp.where(lane < r + rem - off, contrib, 0.0)
+                acc = acc + contrib
+            return acc
+
+        interior = jnp.full((), True)
+        if first_special:
+            interior &= i != 0
+
+            @pl.when(i == 0)
+            def _():
+                out_ref[:] = acc_for("first").astype(out_ref.dtype)
+        if last_special:
+            interior &= i != nb - 1
+
+            @pl.when((i == nb - 1) & (i != 0 if first_special else True))
+            def _():
+                out_ref[:] = acc_for("last").astype(out_ref.dtype)
+
+        @pl.when(interior)
+        def _():
+            out_ref[:] = acc_for(None).astype(out_ref.dtype)
 
     flops = 2 * d * m * s
     bytes_accessed = (d * m + 2 * m * s) * jnp.dtype(xt.dtype).itemsize
     out = pl.pallas_call(
         kernel,
-        grid=(num_blocks,),
+        grid=(nb,),
         in_specs=[
             pl.BlockSpec((d, r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((s, r), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
-        # Full (s, m) output; the grid visits only the full blocks
-        # (every accessed block is in bounds - no masked partial blocks),
-        # and the remainder strip is patched below.
         out_shape=jax.ShapeDtypeStruct((s, m), xt.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, s, win), xt.dtype),
@@ -143,17 +210,15 @@ def _dia_spmm_t_impl(data, xt, offsets: Tuple[int, ...], block_rows: int,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
     )(data, xt)
-    # Patch the edge strips (in-place dynamic updates inside jit).
-    for r0, r1 in patches:
+    # Patch the remainder strip (in-place dynamic update inside jit).
+    if rem:
         out = jax.lax.dynamic_update_slice(
-            out, _edge_block_t(data, xt, offsets, r0, r1), (0, r0))
+            out, _edge_block_t(data, xt, offsets, nb * r, m), (0, nb * r))
     return out
 
 
 def dia_spmm_t(dia: DiaMatrix, xt: jax.Array,
-               block_rows: int = 16384) -> jax.Array:
-    # (32768 measured within run-to-run noise of 16384 on v5e; 49152
-    # exceeds the 16MB VMEM scoped limit at s=16)
+               block_rows: int = 32768) -> jax.Array:
     """y^T = (A @ x)^T with x given as xt: (s, m).  Pallas TPU kernel."""
     m, n = dia.shape
     offsets = dia.offsets
@@ -167,28 +232,20 @@ def dia_spmm_t(dia: DiaMatrix, xt: jax.Array,
     # accumulator fit the 16MB VMEM scoped limit with headroom for
     # Mosaic temporaries (wide multivectors would otherwise OOM)
     itemsize = jnp.dtype(xt.dtype).itemsize
-    budget = 10 * 1024 * 1024 - 2 * s * (pad_l + tail) * itemsize
+    budget = 11 * 1024 * 1024 - 2 * s * (pad_l + tail) * itemsize
     r_fit = budget // ((5 * s + 2 * d) * itemsize)
     block_rows = min(block_rows, max((r_fit // 128) * 128, 1024))
     r = min(block_rows, _round_up(m, 128))
-    win = r + pad_l + tail
-    num_blocks = m // r
-    # strips handled by the XLA path: full blocks whose xt window
-    # [b*r - pad_l, b*r + win) leaves [0, m), plus the remainder rows
-    patches = [
-        (b * r, (b + 1) * r) for b in range(num_blocks)
-        if b * r - pad_l < 0 or b * r - pad_l + win > m]
-    if num_blocks * r < m:
-        patches.append((num_blocks * r, m))
-    if sum(r1 - r0 for r0, r1 in patches) == m:
+    nb = m // r
+    rem = m - nb * r
+    # kernel needs >= 2 full blocks and a block wider than the stencil
+    if nb < 2 or pad_l >= r or tail >= r:
         return dia.matmat(xt.T).T  # too small for the kernel
-    out = _dia_spmm_t_impl(dia.data, xt, offsets, r, pad_l, tail,
-                           tuple(patches))
-    return out
+    return _dia_spmm_t_impl(dia.data, xt, offsets, r, pad_l, tail, rem)
 
 
 def dia_spmm_pallas(dia: DiaMatrix, x: jax.Array,
-                    block_rows: int = 16384) -> jax.Array:
+                    block_rows: int = 32768) -> jax.Array:
     """(m, s) layout wrapper around the transposed kernel."""
     yt = dia_spmm_t(dia, x.T, block_rows=block_rows)
     return yt.T

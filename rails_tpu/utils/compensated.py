@@ -44,7 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["two_sum", "two_prod", "dot2", "gram2", "sum2"]
+__all__ = ["two_sum", "two_prod", "dot2", "gram2", "gram2_pair", "sum2"]
 
 
 def two_sum(a, b):
@@ -149,6 +149,25 @@ def dot2(x, y, block: int = 65536):
     if y.ndim == 1:
         return out[:, 0]
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def gram2_pair(x, w, chunk: int = 1024):
+    """Like gram2 but returns the (hi, lo) pair uncollapsed, so a host
+    consumer can reconstruct the float64-quality result exactly
+    (hi.astype(f64) + lo.astype(f64)).  Used by the refined driver's
+    host-side f64 residual compression (rails_tpu/refine.py)."""
+    m = x.shape[0]
+    pad = (-m) % chunk
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        w = jnp.pad(w, ((0, pad), (0, 0)))
+    nc = x.shape[0] // chunk
+    xc = x.reshape(nc, chunk, x.shape[1])
+    wc = w.reshape(nc, chunk, w.shape[1])
+    parts = jnp.einsum("cma,cmb->cab", xc, wc,
+                       precision=jax.lax.Precision.HIGHEST)
+    return _pairwise_two_sum(parts)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))

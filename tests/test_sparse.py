@@ -213,6 +213,25 @@ class TestDiaSpmmKernel:
         assert np.allclose(np.asarray(y), np.asarray(op.fwd.matmat(x)),
                            atol=1e-4)
 
+    def test_pallas_interpreter_remainder_and_asymmetric(self, rng):
+        # m % block_rows != 0 (remainder strip) + an asymmetric stencil
+        # (pad_l != tail) exercises the in-kernel first/last masking and
+        # the XLA remainder patch
+        import jax.numpy as jnp
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.formats import DiaMatrix
+        from rails_tpu.sparse.spmm import dia_spmm_pallas
+        m = 1100  # 4 blocks of 256 + remainder 76
+        offsets = (-40, -1, 0, 2, 33)
+        data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)),
+                           dtype=jnp.float32)
+        dia = DiaMatrix(data, offsets, (m, m))
+        x = jnp.asarray(rng.uniform(-1, 1, (m, 3)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = dia_spmm_pallas(dia, x, block_rows=256)
+        assert np.allclose(np.asarray(y), np.asarray(dia.matmat(x)),
+                           atol=1e-4)
+
 
 class TestReorder:
     """RCM bandwidth reduction -> DIA-kernel-friendly structure (TPU-native
