@@ -50,9 +50,11 @@ class TestLaplace:
     def test_laplace(self, rng, n):
         # test_Laplace_64 / _256 (test_Laplace.m:31-59).  The MATLAB test
         # uses the default maxit=100 with its own rng(4634) draw; numpy's
-        # rng(4634) yields a harder M draw (verified: a faithful
-        # numpy+ARPACK replica of RAILSsolver needs >100 iterations on it),
-        # so we run up to the asserted bound n-10 instead.
+        # rng(4634) yields a harder M draw at n=256: the checked-in
+        # faithful numpy+ARPACK replica of RAILSsolver
+        # (benchmarks/replica/matlab_replica.py, evidence recorded in its
+        # docstring; consistency-tested at n=64 below) needs 147-148
+        # iterations on it, so we run up to the asserted bound n-10.
         a, md, b = laplace_setup(rng, n)
         v, t, info = solve_laplace(a, md, b, maxit=max(100, n - 10))
         assert info.converged
@@ -280,3 +282,32 @@ class TestRandom:
             restart_upon_convergence=False)
         assert info.res < 1e-4
         assert rel_true_residual(a, v, t, b, md) < 1e-4
+
+
+class TestMatlabReplica:
+    def test_replica_consistency_n64(self, rng):
+        """The checked-in numpy/scipy replica of MATLAB RAILSsolver
+        (benchmarks/replica/matlab_replica.py - the evidence behind the
+        realization-dependent maxit choices above) agrees with rails_tpu
+        on the n=64 Laplace draw: both converge to < 1e-4 with the
+        replica inside the MATLAB default iteration budget."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "benchmarks", "replica"))
+        from matlab_replica import matlab_rails_replica
+
+        n = 64
+        a, md, b = laplace_setup(rng, n)
+        seed = rng.uniform(-1, 1, (n, 1))
+        it, resvec, conv = matlab_rails_replica(
+            np.asarray(a), b, md, maxit=100, seed_vec=seed)
+        assert conv and it <= 100
+        assert resvec[-1] < 1e-4
+        v, t, info = solve_laplace(a, md, b, maxit=100)
+        assert info.converged
+        # same algorithm, same problem: iteration counts in the same
+        # ballpark (different Lanczos/eigs internals allow slack)
+        assert abs(info.iter - it) <= 25, (info.iter, it)
