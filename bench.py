@@ -236,9 +236,12 @@ def phase_accuracy() -> None:
     single_true = true_rel(v1, t1)
     print("accuracy: refined solve...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
+    # compensated reductions keep the residual estimator honest at this
+    # m (plain f32 Lanczos scalars carry ~sqrt(m)*eps noise); they ride
+    # the EFT kernels and are ~free on the HBM-bound skinny ops
     v2, t2, info2 = rails_tpu.solve_refined(
         aop, jnp.asarray(b32), tol=1e-8, dtype=dtype, maxit=100, expand=4,
-        compiled=True)
+        precision="compensated", compiled=True)
     wall_refined = time.perf_counter() - t0
     refined_true = true_rel(v2, t2)
     print(json.dumps({

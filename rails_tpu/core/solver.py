@@ -285,11 +285,19 @@ class LyapunovSolver:
                 state = shard_state(state, self.mesh)
         cap_kb, s_slot = static["cap_kb"], static["s_slot"]
 
-        def step_for(kb):
+        def step_for(kb, probe_state=None):
             st = dict(static, kb=kb, k_limit=min(m, kb - s_slot))
             key = (kb, opt.maxit)
             if key not in self._engine_cache:
-                self._engine_cache[key] = jax.jit(self._build_iterate(st))
+                engine = jax.jit(self._build_iterate(st))
+                if probe_state is not None:
+                    # AOT-compile under a named timer so the capacity
+                    # ladder's recompile tax is visible in the profile
+                    # (VERDICT round-1 item 10); the Compiled object is
+                    # the engine, so nothing compiles twice
+                    with timer("Solver", f"compile[kb={kb}]"):
+                        engine = engine.lower(probe_state).compile()
+                self._engine_cache[key] = engine
             return self._engine_cache[key]
 
         t0 = time.perf_counter()

@@ -91,12 +91,13 @@ def residual_factor(A: LinearOperator, M: Optional[LinearOperator],
     1. A V / M V are taken ERROR-FREE on device (``matmat2``: hi + lo =
        exact product) and recombined in f64.  A plain f32 A V rounds at
        eps * ||A V||, which is larger than the entire residual.
-    2. The factor basis is [V, C_A, C_W, B] with C = A V - V (V' A V)
-       the explicitly-computed V-orthogonal *novel* part, at its own
-       natural scale (~res * ||A V||).  A [A V, V, B] basis is nearly
-       collinear: the novel content hides in Gram eigenvalues ~res^2
-       (1e-16 at res 1e-8), unresolvable by ANY f64 Gram analysis -
-       measured as a 3e-3-relative compression floor before this split.
+    2. Every stored matrix is a NUMERICALLY EVALUATED piece of R0 at
+       R0's own scale: S_VV = V'R0V, Z = P_perp R0 V, and the
+       perp-perp coefficients over an orthonormal complement basis Q.
+       Any formulation that stores ||T||*||A||-sized blocks whose
+       cancellation encodes the (1e5x smaller) residual hides real mass
+       in Gram eigenvalues ~1e-14 that no f64 eigendecomposition can
+       resolve - measured as an n-growing ~1e-2-relative floor.
 
     The f32 rounding of the returned basis is then *refit*: S2 is
     recomputed by f64 normal equations against the basis exactly as
@@ -115,80 +116,81 @@ def residual_factor(A: LinearOperator, M: Optional[LinearOperator],
         # accuracy floor (~eps32 * ||op V|| / ||B B'||)
         return np.asarray(op.matmat(v), np.float64)
 
+    import scipy.linalg as sla
+
     v64 = np.asarray(v, np.float64)
     b64 = np.asarray(b_arr, np.float64)
     t64 = np.asarray(t, np.float64)
     av64 = apply64(A)
-    ga = v64.T @ av64
-    ca = av64 - v64 @ ga
+    w64 = apply64(M) if M is not None else None
+    # re-orthonormalize V in f64 (the f32-stored V is orthonormal only
+    # to ~eps32, and the projector algebra below needs 1e-15):
+    # V = Vq Rv, X0 = Vq (Rv T Rv') Vq' is an exact transformation
+    vq, rv = np.linalg.qr(v64)
+    tq = rv @ t64 @ rv.T
+    avq = sla.solve_triangular(rv.T, av64.T, lower=True).T   # A @ Vq
+    ga = vq.T @ avq
+    ca = avq - vq @ ga                     # P_perp A Vq (exact to 1e-15)
     if M is not None:
-        w64 = apply64(M)
-        gw = v64.T @ w64
-        cw = w64 - v64 @ gw
-        blocks = [v64, ca, cw, b64]
+        wq = sla.solve_triangular(rv.T, w64.T, lower=True).T
+        gw = vq.T @ wq
+        cw = wq - vq @ gw
     else:
         gw = np.eye(k)
         cw = None
-        blocks = [v64, ca, b64]
     sp0 = np.eye(p) if b_sign is None else np.asarray(b_sign, np.float64)
-    # R0 = AV T W' + W T AV' + B Sp B' expanded over the split basis
-    nb = [b.shape[1] for b in blocks]
-    off = np.cumsum([0] + nb)
-    nu = off[-1]
-    s = np.zeros((nu, nu))
-
-    def put(i, j, blk):
-        s[off[i]:off[i + 1], off[j]:off[j + 1]] += blk
-        if i != j:
-            s[off[j]:off[j + 1], off[i]:off[i + 1]] += blk.T
-
-    gatgw = ga @ t64 @ gw.T
-    put(0, 0, gatgw + gatgw.T)               # V (GaTGw' + GwTGa') V'
-    i_ca = 1
-    i_cw = 2 if cw is not None else 1        # M=I: Cw == Ca slot unused
-    i_b = len(blocks) - 1
-    put(0, i_ca, gw @ t64)                   # V (GwT) Ca'  (M=I: Gw = I)
+    bv = vq.T @ b64
+    bperp = b64 - vq @ bv
+    # Every stored coefficient below is a NUMERICALLY EVALUATED piece of
+    # R0 at R0's own scale (||S_VV||, ||Z|| <= ||R0||): the earlier
+    # symbolic-S formulation kept ||T||*||A||-sized blocks (1e5 x ||R0||)
+    # whose cancellation hid residual mass in Gram eigenvalues ~1e-14,
+    # below what any f64 eigendecomposition resolves - measured as an
+    # n-growing 1e-2-relative compression floor.
+    s_vv = ga @ tq @ gw.T + gw @ tq @ ga.T + bv @ sp0 @ bv.T
+    z = ca @ (tq @ gw.T) + bperp @ (sp0 @ bv.T)
     if cw is not None:
-        put(0, i_cw, ga @ t64)               # V (GaT) Cw'
-        put(i_ca, i_cw, t64)                 # Ca T Cw' (+ sym)
-    put(i_b, i_b, sp0)
-    u64 = np.concatenate(blocks, axis=1)
-    g = u64.T @ u64
-    g = 0.5 * (g + g.T)
-    # column-normalize: C blocks live ~5 orders below V/B
-    d = np.sqrt(np.maximum(np.diag(g), 0.0))
-    d_safe = np.where(d > 0, d, 1.0)
-    gn = g / d_safe[:, None] / d_safe[None, :]
-    sn = s * d_safe[:, None] * d_safe[None, :]
-    lam_g, pg = np.linalg.eigh(gn)
-    gmax = max(lam_g[-1], np.finfo(np.float64).tiny)
-    # keep everything above f64-eigh noise: real residual mass hides at
-    # lam_g ~ 1e-13 (e.g. B almost inside span V after convergence);
-    # cutting at 1e-10 was measured to lose 1e-3 of ||R0|| (the refit
-    # makes over-kept noise directions harmless - weights stay optimal)
-    rank = lam_g > 1e-15 * gmax
-    c0 = pg[:, rank] / np.sqrt(lam_g[rank])[None, :]   # (U D^-1) c0 o.n.
-    # core = L^1/2 P' Sn P L^1/2: project first, scale after, so f64
-    # rounding is never amplified through 1/sqrt(lam_g)
-    psp = pg[:, rank].T @ sn @ pg[:, rank]
-    half = np.sqrt(lam_g[rank])
-    core = psp * half[:, None] * half[None, :]
-    core = 0.5 * (core + core.T)
-    lam, w = np.linalg.eigh(core)
+        z = z + cw @ (tq @ ga.T)
+    # orthonormal complement basis Q spanning [Z, Ca, Cw, Bperp] via
+    # rank-revealing QR of column-normalized blocks
+    pool = [z, ca, bperp] if cw is None else [z, ca, cw, bperp]
+    pool = np.concatenate(pool, axis=1)
+    nrm = np.linalg.norm(pool, axis=0)
+    pool = pool / np.where(nrm > 0, nrm, 1.0)[None, :]
+    qq, rr, _ = sla.qr(pool, mode="economic", pivoting=True)
+    rdiag = np.abs(np.diag(rr))
+    qrank = int((rdiag > 1e-12 * max(rdiag[0], np.finfo(float).tiny)).sum())
+    qmat = qq[:, :qrank]
+    # coefficient matrix over the orthonormal X = [Vq, Q]
+    cz = qmat.T @ z
+    c_bp = qmat.T @ bperp
+    nx = k + qrank
+    s_x = np.zeros((nx, nx))
+    s_x[:k, :k] = 0.5 * (s_vv + s_vv.T)
+    s_x[k:, :k] = cz
+    s_x[:k, k:] = cz.T
+    s_perp = c_bp @ sp0 @ c_bp.T
+    if cw is not None:
+        c_ca = qmat.T @ ca
+        c_cw = qmat.T @ cw
+        cross = c_ca @ tq @ c_cw.T
+        s_perp = s_perp + cross + cross.T
+    s_x[k:, k:] = 0.5 * (s_perp + s_perp.T)
+    x64 = np.concatenate([vq, qmat], axis=1)
+    lam, w = np.linalg.eigh(s_x)
     order = np.argsort(-np.abs(lam))
     lam = lam[order]
     w = w[:, order]
     scale = max(abs(lam[0]), np.finfo(np.float64).tiny)
     keep = np.abs(lam) > drop_rel * scale
-    c2 = (c0 @ w[:, keep]) / d_safe[:, None]
-    u2_64 = u64 @ c2                       # f64 basis, THEN round once
+    u2_64 = x64 @ w[:, keep]               # f64 basis, THEN round once
     u2_32 = u2_64.astype(np.float32)
     # refit S2 to the rounded basis: Lam = H^-1 (U2' R0 U2) H^-1 with
-    # U2' R0 U2 = K' S K, K = U' U2, all in f64
+    # U2' R0 U2 = K' S_X K, K = X' U2 - all intermediates at R0 scale
     u2r = u2_32.astype(np.float64)
     h = u2r.T @ u2r
-    kmat = u64.T @ u2r
-    core2 = kmat.T @ s @ kmat
+    kmat = x64.T @ u2r
+    core2 = kmat.T @ s_x @ kmat
     hinv = np.linalg.inv(h)
     lam2 = hinv @ core2 @ hinv
     lam2 = 0.5 * (lam2 + lam2.T)

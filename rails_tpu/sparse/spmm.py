@@ -217,21 +217,169 @@ def _dia_spmm_t_impl(data, xt, offsets: Tuple[int, ...], block_rows: int,
     return out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("offsets", "block_rows", "rem"))
+def _dia_spmm_t_impl_v3(data, xt, offsets: Tuple[int, ...],
+                        block_rows: int, rem: int):
+    """v3: disjoint-slab schedule - x is DMA'd exactly once (v2 re-reads
+    the pad_l+tail halo of every window, ~12% extra bytes at the bench
+    geometry).  4 resident (s, r) slabs; block i computes from slabs
+    (i-1, i, i+1) with funnel slices across slab boundaries; the (m % r)
+    remainder strip rides a 5th partial DMA and static masks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, m = data.shape
+    s = xt.shape[0]
+    r = block_rows
+    nb = m // r
+    span_lo = max(0, -min(offsets))
+    span_hi = max(0, max(offsets))
+
+    def kernel(data_ref, xt_ref, out_ref, w_ref, sems):
+        i = pl.program_id(0)
+
+        def dma_full(slot, blk):
+            start = pl.multiple_of(blk * r, 128)
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(start, r)], w_ref.at[slot],
+                sems.at[slot])
+
+        def dma_rem(slot):
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(nb * r, rem)],
+                w_ref.at[slot, :, pl.ds(0, rem)], sems.at[slot])
+
+        def start_dma(blk):
+            slot = blk % 4
+            @pl.when(blk < nb)
+            def _():
+                dma_full(slot, blk).start()
+            if rem:
+                @pl.when(blk == nb)
+                def _():
+                    dma_rem(slot).start()
+
+        def wait_dma(blk):
+            slot = blk % 4
+            @pl.when(blk < nb)
+            def _():
+                dma_full(slot, blk).wait()
+            if rem:
+                @pl.when(blk == nb)
+                def _():
+                    dma_rem(slot).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(0)
+            start_dma(1)
+
+        # keep blocks (i-1, i, i+1) resident; prefetch i+2
+        last_needed = nb if rem else nb - 1
+        @pl.when(i + 2 <= last_needed)
+        def _():
+            start_dma(i + 2)
+
+        # wait for block i+1 (started at step i-1; at i==0 both 0 and 1
+        # were started above).  Block i itself was awaited at step i-1's
+        # i+1-wait, except block 0, handled here.
+        @pl.when(i == 0)
+        def _():
+            wait_dma(0)
+
+        @pl.when(i + 1 <= last_needed)
+        def _():
+            wait_dma(i + 1)
+
+        sa, sb, sc = (i - 1) % 4, i % 4, (i + 1) % 4
+        first = i == 0
+        last = i == nb - 1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, r), 1)
+        acc = jnp.zeros((s, r), dtype=jnp.float32)
+        for idx, off in enumerate(offsets):
+            diag = data_ref[idx, :]
+            if off == 0:
+                contrib = diag[None, :] * w_ref[sb]
+            elif off > 0:
+                shifted = jnp.concatenate(
+                    [w_ref[sb, :, off:], w_ref[sc, :, :off]], axis=1)
+                contrib = diag[None, :] * shifted
+                # last block: lanes j with i*r + j + off >= m are invalid
+                if off > rem:
+                    contrib = jnp.where(
+                        last, jnp.where(lane < r + rem - off, contrib, 0.0),
+                        contrib)
+            else:
+                shifted = jnp.concatenate(
+                    [w_ref[sa, :, r + off:], w_ref[sb, :, :r + off]], axis=1)
+                contrib = diag[None, :] * shifted
+                # first block: lanes j < -off would read x[j + off] < 0
+                contrib = jnp.where(
+                    first, jnp.where(lane >= -off, contrib, 0.0), contrib)
+            acc = acc + contrib
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    flops = 2 * d * m * s
+    bytes_accessed = (d * m + 2 * m * s) * jnp.dtype(xt.dtype).itemsize
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((d, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((s, r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, m), xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((4, s, r), xt.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+    )(data, xt)
+    if rem:
+        out = jax.lax.dynamic_update_slice(
+            out, _edge_block_t(data, xt, offsets, nb * r, m), (0, nb * r))
+    return out
+
+
 def dia_spmm_t(dia: DiaMatrix, xt: jax.Array,
-               block_rows: int = 32768) -> jax.Array:
-    """y^T = (A @ x)^T with x given as xt: (s, m).  Pallas TPU kernel."""
+               block_rows: int = 32768, impl: str = "v2") -> jax.Array:
+    """y^T = (A @ x)^T with x given as xt: (s, m).  Pallas TPU kernel.
+
+    impl='v2' (default): overlapping-window schedule (re-reads the
+    stencil halo, ~12% extra x bytes at the bench geometry).
+    impl='v3': disjoint-slab schedule, x read exactly once - measured
+    on v5e at the SAME throughput as v2 (the kernel is at the chip's
+    effective stream ceiling, not DMA-byte-limited), and its remainder
+    DMA requires 128-aligned m, so v2 stays the default.
+    """
     m, n = dia.shape
     offsets = dia.offsets
     s = xt.shape[0]
     d = len(offsets)
     span_lo = max(0, -min(offsets))
     span_hi = max(0, max(offsets))
+    itemsize = jnp.dtype(xt.dtype).itemsize
+    if impl == "v3":
+        # VMEM: 4 slabs + 2 out + 2 data + accumulator = (7s + 2d) * r
+        r_fit = (11 * 1024 * 1024) // ((7 * s + 2 * d) * itemsize)
+        r = min(block_rows, max((r_fit // 128) * 128, 1024),
+                _round_up(m, 128))
+        nb = m // r
+        rem = m - nb * r
+        if nb >= 2 and span_lo < r and span_hi < r:
+            return _dia_spmm_t_impl_v3(dia.data, xt, offsets, r, rem)
+        # geometry unsupported (e.g. stencil reaches past the remainder
+        # slab) -> fall through to v2
     pad_l = _round_up(span_lo, 128)
     tail = _round_up(span_hi, 128)
     # shrink blocks so double-buffered window + out + data + the (s, r)
     # accumulator fit the 16MB VMEM scoped limit with headroom for
     # Mosaic temporaries (wide multivectors would otherwise OOM)
-    itemsize = jnp.dtype(xt.dtype).itemsize
     budget = 11 * 1024 * 1024 - 2 * s * (pad_l + tail) * itemsize
     r_fit = budget // ((5 * s + 2 * d) * itemsize)
     block_rows = min(block_rows, max((r_fit // 128) * 128, 1024))

@@ -213,14 +213,15 @@ class TestDiaSpmmKernel:
         assert np.allclose(np.asarray(y), np.asarray(op.fwd.matmat(x)),
                            atol=1e-4)
 
-    def test_pallas_interpreter_remainder_and_asymmetric(self, rng):
+    @pytest.mark.parametrize("impl", ["v2", "v3"])
+    def test_pallas_interpreter_remainder_and_asymmetric(self, rng, impl):
         # m % block_rows != 0 (remainder strip) + an asymmetric stencil
         # (pad_l != tail) exercises the in-kernel first/last masking and
-        # the XLA remainder patch
+        # the XLA remainder patch, on both kernel schedules
         import jax.numpy as jnp
         from jax.experimental.pallas import tpu as pltpu
         from rails_tpu.sparse.formats import DiaMatrix
-        from rails_tpu.sparse.spmm import dia_spmm_pallas
+        from rails_tpu.sparse.spmm import dia_spmm_t
         m = 1100  # 4 blocks of 256 + remainder 76
         offsets = (-40, -1, 0, 2, 33)
         data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)),
@@ -228,7 +229,7 @@ class TestDiaSpmmKernel:
         dia = DiaMatrix(data, offsets, (m, m))
         x = jnp.asarray(rng.uniform(-1, 1, (m, 3)), dtype=jnp.float32)
         with pltpu.force_tpu_interpret_mode():
-            y = dia_spmm_pallas(dia, x, block_rows=256)
+            y = dia_spmm_t(dia, x.T, block_rows=256, impl=impl).T
         assert np.allclose(np.asarray(y), np.asarray(dia.matmat(x)),
                            atol=1e-4)
 
