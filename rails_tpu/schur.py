@@ -19,8 +19,11 @@ and RAILSsolver runs on (S, MS, BS).  The TPU-native design:
   once (jittable lu_solve applies on the MXU; the right call for the
   moderate A11 sizes of the reference's problem class), 'native_lu' uses
   our C++ Gilbert-Peierls LU through a host callback (the KLU-equivalent
-  for very sparse/large A11), or any user callable (iterative,
-  preconditioned - mirroring MATLAB's opts.Ainv contract).
+  for very sparse/large A11), 'iterative' runs Jacobi-preconditioned
+  BiCGStab on the device SpMM kernel (the scalable O(nnz) option the
+  reference lacks - its KLU gathers to one rank,
+  SchurOperator.cpp:177-186), or any user callable (mirroring MATLAB's
+  opts.Ainv contract).
 
 Post-solution analysis (solution operator application for eigenvalue
 extraction + trace, C++ SchurOperator::Apply(hasSolution)/Trace,
@@ -47,7 +50,10 @@ class SchurReduction:
     """Holds the reduced operators; use .operator/.ms/.bs with the solver."""
 
     def __init__(self, a, m, b, *, a11_solver="dense_lu", singular_tol=1e-12,
-                 dtype=None, fmt="ell", hurwitz=False, factorize_sinv=False):
+                 dtype=None, fmt="ell", hurwitz=False, factorize_sinv=False,
+                 a11_tol=None, a11_maxiter=500):
+        self.a11_tol = a11_tol
+        self.a11_maxiter = a11_maxiter
         self.hurwitz = hurwitz
         if dtype is None:
             dtype = jnp.asarray(0.0).dtype
@@ -145,6 +151,35 @@ class SchurReduction:
 
             self.a11_solve = solve
             self.a11_solve_t = solve_t
+        elif a11_solver == "iterative":
+            # The scalable device-side option (SURVEY §7.5): neither the
+            # dense LU (O(n1^2) memory) nor the serial host LU (the
+            # reference's own KLU ceiling, SchurOperator.cpp:177-186)
+            # survives large n1.  A Jacobi-preconditioned BiCGStab whose
+            # matvec is the device SpMM kernel does: O(nnz) memory,
+            # jittable, and row-shardable like every other operator.
+            # Suited to diagonally-dominant / elliptic A11 blocks; saddle
+            # -structured A11 (zero diagonals) should keep a direct
+            # method or pass a preconditioned callable.
+            a11_op = sparse_from_scipy(self._a11_scipy, dtype=self.dtype)
+            d = np.asarray(self._a11_scipy.diagonal())
+            safe = np.where(np.abs(d) > 1e-30, d, 1.0)
+            dinv = jnp.asarray(1.0 / safe, dtype=self.dtype)
+            tol = self.a11_tol
+            if tol is None:
+                tol = 30 * float(jnp.finfo(self.dtype).eps)
+            maxiter = self.a11_maxiter
+
+            def _bicgstab(matvec, x):
+                def precond(r):
+                    return r * dinv.reshape((-1,) + (1,) * (r.ndim - 1))
+
+                y, _ = jax.scipy.sparse.linalg.bicgstab(
+                    matvec, x, tol=tol, maxiter=maxiter, M=precond)
+                return y
+
+            self.a11_solve = lambda x: _bicgstab(a11_op.matmat, x)
+            self.a11_solve_t = lambda x: _bicgstab(a11_op.rmatmat, x)
         else:
             raise ValueError(f"unknown a11_solver {a11_solver!r}")
 

@@ -1,0 +1,208 @@
+"""Windowed-ELL SpMM Pallas kernel - unstructured sparsity on TPU.
+
+The reference handles arbitrary CrsMatrix sparsity as its baseline case
+(/root/reference/src/Epetra_OperatorWrapper.cpp:75-91) through Epetra's
+CPU SpMV.  A TPU has no scalar gather path worth using: the XLA lowering
+of the per-slot ``jnp.take`` ELL apply measures ~0.03 Gnnz/s on v5e.
+The one vector-gather primitive Mosaic compiles is
+``tpu.dynamic_gather`` (via ``jnp.take_along_axis``) on a *128-wide
+lane operand* (measured: wider operands and sublane gathers fail to
+compile - benchmarks/probes/probe_dyngather.py).  This kernel is built
+around that constraint:
+
+- rows are processed in 128-row chunks (the lane dimension of the
+  transposed (s, m) multivector layout, see sparse/spmm.py);
+- each chunk declares a 128-aligned *column window* ``[c0, c0+w)``
+  covering every column index it touches; window starts are
+  scalar-prefetched from SMEM and drive a double-buffered DMA of the
+  (s, w) slice of x into VMEM;
+- ELL indices are stored window-local; the gather over the w-wide
+  window decomposes into w/128 sub-block gathers combined by masked
+  select (the only shape the hardware gather supports).
+
+Matrices qualify when every 128-row chunk's column span fits a bounded
+window - true for banded/structured matrices and for general ones after
+RCM reordering (rails_tpu.sparse.reorder).  Genuinely random sparsity
+(window ~ n) falls back to the XLA path; no TPU memory system does well
+there.  Measured on v5e (m=2^21, L=8..16, s=16): 2.3-3.5 Gnnz/s,
+49-99x the XLA take path (benchmarks/probes/probe_ell_kernel.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["WindowedEll", "ell_windowize", "ell_spmm_t", "ell_spmm"]
+
+_CHUNK = 128          # output rows per grid step (lane width)
+_W_CAP = 2048         # widest supported window (VPU cost grows with w/128)
+_MIN_ROWS = 256       # below this the XLA path wins on dispatch overhead
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class WindowedEll:
+    """Kernel-native ELL payload: transposed (L, m_pad) slots with
+    window-local indices plus per-chunk window starts."""
+
+    c0: jax.Array                    # (nb,) int32, 128-aligned starts
+    lidx: jax.Array                  # (L, m_pad) int32, window-local
+    values: jax.Array                # (L, m_pad)
+    w: int                           # static window width (128-multiple)
+    shape: Tuple[int, int]           # static logical (m, n)
+
+    def astype(self, dtype) -> "WindowedEll":
+        if self.values.dtype == jnp.dtype(dtype):
+            return self
+        return WindowedEll(self.c0, self.lidx, self.values.astype(dtype),
+                           self.w, self.shape)
+
+    def tree_flatten(self):
+        return (self.c0, self.lidx, self.values), (self.w, self.shape)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0], aux[1])
+
+
+def ell_windowize(indices: np.ndarray, values: np.ndarray,
+                  shape: Tuple[int, int],
+                  w_cap: int = _W_CAP) -> Optional[WindowedEll]:
+    """Host-side analysis: per-128-row-chunk windows over an ELL matrix.
+
+    Returns None when the matrix does not qualify (too small, window
+    wider than ``w_cap`` or than the column count).  Padding slots must
+    carry row-local indices (see formats._ell_from_scipy) or the pads
+    themselves blow up the window span.
+    """
+    m, n = shape
+    if m < _MIN_ROWS:
+        return None
+    indices = np.asarray(indices)
+    values = np.asarray(values)
+    ell_l = indices.shape[1]
+    m_pad = -(-m // _CHUNK) * _CHUNK
+    if m_pad != m:
+        # pad rows: replicate the last row's index (in-window), zero value
+        pad_idx = np.broadcast_to(indices[m - 1:m], (m_pad - m, ell_l))
+        indices = np.concatenate([indices, pad_idx], axis=0)
+        values = np.concatenate(
+            [values, np.zeros((m_pad - m, ell_l), values.dtype)], axis=0)
+    nb = m_pad // _CHUNK
+    ci = indices.reshape(nb, _CHUNK, ell_l)
+    c0 = (ci.min(axis=(1, 2)) // _CHUNK) * _CHUNK
+    span = ci.max(axis=(1, 2)) - c0 + 1
+    w = int(-(-int(span.max()) // _CHUNK)) * _CHUNK
+    # windows must stay 128-aligned AND in-range of the 128-padded
+    # column space (ell_spmm_t pads xt to n_pad columns; clamping
+    # against raw n would break the alignment the DMA promises)
+    n_pad = -(-n // _CHUNK) * _CHUNK
+    if w > min(w_cap, n_pad):
+        return None
+    c0 = np.minimum(c0, n_pad - w).astype(np.int32)
+    lidx = (indices - np.repeat(c0, _CHUNK)[:, None]).astype(np.int32)
+    return WindowedEll(
+        jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(lidx.T)),
+        jnp.asarray(np.ascontiguousarray(values.T)), w, (m, n))
+
+
+@functools.partial(jax.jit, static_argnames=("ell_l", "w", "m", "m_pad"))
+def _ell_spmm_t_impl(c0, lidx, values, xt, ell_l: int, w: int, m: int,
+                     m_pad: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = xt.shape[0]
+    nb = m_pad // _CHUNK
+    nw = w // _CHUNK
+
+    def kernel(c0_ref, lidx_ref, val_ref, xt_ref, out_ref, w_ref, sems):
+        i = pl.program_id(0)
+
+        def dma(slot, blk):
+            start = pl.multiple_of(c0_ref[blk], _CHUNK)
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(start, w)], w_ref.at[slot],
+                sems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(i % 2, i).wait()
+        slot = i % 2
+
+        acc = jnp.zeros((s, _CHUNK), dtype=jnp.float32)
+        for l in range(ell_l):
+            bidx = jnp.broadcast_to(lidx_ref[l, :][None, :], (s, _CHUNK))
+            vrow = val_ref[l, :][None, :]
+            for j in range(nw):
+                loc = jnp.clip(bidx - j * _CHUNK, 0, _CHUNK - 1)
+                g = jnp.take_along_axis(
+                    w_ref[slot, :, j * _CHUNK:(j + 1) * _CHUNK], loc,
+                    axis=1)
+                mask = (bidx >= j * _CHUNK) & (bidx < (j + 1) * _CHUNK)
+                acc = acc + jnp.where(mask, vrow * g, 0.0)
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((ell_l, _CHUNK), lambda i, c0: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ell_l, _CHUNK), lambda i, c0: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((s, _CHUNK), lambda i, c0: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, s, w), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, m_pad), xt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ell_l * m_pad * s,
+            bytes_accessed=(2 * ell_l * m_pad + 2 * m_pad * s)
+            * jnp.dtype(xt.dtype).itemsize,
+            transcendentals=0),
+    )(c0, lidx, values, xt)
+    return out if m_pad == m else out[:, :m]
+
+
+def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
+    """yt (s, m) = (A @ x)^T for x given transposed as xt (s, n)."""
+    m, n = well.shape
+    ell_l = well.lidx.shape[0]
+    n_pad = -(-n // _CHUNK) * _CHUNK
+    if n_pad != n:
+        xt = jnp.pad(xt, ((0, 0), (0, n_pad - n)))
+    return _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
+                            ell_l, well.w, m, well.lidx.shape[1])
+
+
+def ell_spmm(ell, x: jax.Array) -> jax.Array:
+    """Dispatching ELL SpMM in (n, s) layout: windowed Pallas kernel on
+    TPU float32 when the payload qualifies, XLA take path otherwise."""
+    well = getattr(ell, "well", None)
+    if (well is not None
+            and jax.default_backend() == "tpu"
+            and x.dtype == jnp.float32
+            and x.ndim == 2):
+        return ell_spmm_t(well, x.T).T
+    return ell.matmat(x)

@@ -123,11 +123,16 @@ class DiaMatrix:
 @dataclasses.dataclass
 class EllMatrix:
     """Padded row-wise format: y[i] = sum_l values[i, l] * x[indices[i, l]];
-    padding slots have values == 0 and indices clamped in-range."""
+    padding slots have values == 0 and *row-local* indices (the row's own
+    first column) so the windowed kernel's per-chunk column spans stay
+    tight.  ``well`` is the optional kernel-native windowed payload
+    (sparse/ell_spmm.py), built at construction when the matrix
+    qualifies; None otherwise (then applies take the XLA path)."""
 
     indices: jax.Array               # (m, L) int32
     values: jax.Array                # (m, L)
     shape: Tuple[int, int]           # static
+    well: Optional[object] = None    # WindowedEll or None
 
     def matmat(self, x: jax.Array) -> jax.Array:
         # one (m, s) gather + fused multiply-add per slot: peak memory
@@ -159,14 +164,16 @@ class EllMatrix:
     def astype(self, dtype) -> "EllMatrix":
         if self.values.dtype == jnp.dtype(dtype):
             return self
-        return EllMatrix(self.indices, self.values.astype(dtype), self.shape)
+        well = None if self.well is None else self.well.astype(dtype)
+        return EllMatrix(self.indices, self.values.astype(dtype),
+                         self.shape, well)
 
     def tree_flatten(self):
-        return (self.indices, self.values), (self.shape,)
+        return (self.indices, self.values, self.well), (self.shape,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0])
+        return cls(children[0], children[1], aux[0], children[2])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -250,9 +257,14 @@ class SparseOperator(LinearOperator):
 
             return dia_spmm(payload, x)
         if self.use_pallas and isinstance(payload, HybMatrix):
+            from rails_tpu.sparse.ell_spmm import ell_spmm
             from rails_tpu.sparse.spmm import dia_spmm
 
-            return dia_spmm(payload.dia, x) + payload.ell.matmat(x)
+            return dia_spmm(payload.dia, x) + ell_spmm(payload.ell, x)
+        if self.use_pallas and isinstance(payload, EllMatrix):
+            from rails_tpu.sparse.ell_spmm import ell_spmm
+
+            return ell_spmm(payload, x)
         return payload.matmat(x)
 
     def matmat(self, x):
@@ -341,18 +353,31 @@ def _dia_from_scipy(a: sp.spmatrix, dtype) -> DiaMatrix:
 
 
 def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
+    from rails_tpu.sparse.ell_spmm import ell_windowize
+
     csr = a.tocsr()
     m, n = csr.shape
     deg = np.diff(csr.indptr)
     ell_l = max(int(deg.max()), 1) if m else 1
-    indices = np.zeros((m, ell_l), dtype=np.int32)
+    # pad slots with the row's own first index (row-local, keeps the
+    # windowed kernel's per-chunk spans tight); empty rows pad with the
+    # clamped row id
+    pad = np.minimum(np.arange(m, dtype=np.int64), max(n - 1, 0))
+    if csr.nnz:
+        first = np.where(deg > 0, csr.indices[np.minimum(
+            csr.indptr[:-1], csr.nnz - 1)], pad)
+    else:
+        first = pad
+    indices = np.repeat(first[:, None], ell_l, axis=1).astype(np.int32)
     values = np.zeros((m, ell_l), dtype=dtype)
     for i in range(m):
         lo, hi = csr.indptr[i], csr.indptr[i + 1]
         cnt = hi - lo
         indices[i, :cnt] = csr.indices[lo:hi]
         values[i, :cnt] = csr.data[lo:hi]
-    return EllMatrix(jnp.asarray(indices), jnp.asarray(values), (m, n))
+    well = ell_windowize(indices, values, (m, n))
+    return EllMatrix(jnp.asarray(indices), jnp.asarray(values), (m, n),
+                     well)
 
 
 def _hyb_split(a: sp.csr_matrix, dia_fill_limit: float,
@@ -370,6 +395,11 @@ def _hyb_split(a: sp.csr_matrix, dia_fill_limit: float,
     kept = []
     covered = 0
     for j in order[:dia_max_offsets]:
+        # marginal test: a diagonal stored densely costs m slots; one
+        # whose own fill m/count exceeds the limit belongs in the ELL
+        # remainder (counts sorted desc, so stop at the first such)
+        if m > dia_fill_limit * counts[j]:
+            break
         if (len(kept) + 1) * m > dia_fill_limit * (covered + counts[j]):
             break
         kept.append(uniq[j])

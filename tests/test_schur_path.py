@@ -28,8 +28,13 @@ def small_dae(rng, n=40, nsing=15):
 
 
 class TestSchurReduction:
-    @pytest.mark.parametrize("a11_solver", ["dense_lu", "native_lu"])
-    def test_operator_matches_dense(self, rng, a11_solver):
+    @pytest.mark.parametrize("a11_solver,atol", [
+        ("dense_lu", 1e-10), ("native_lu", 1e-10),
+        # iterative: Jacobi-BiCGStab to ~30*eps relative; the Schur apply
+        # then matches to a looser but still tight tolerance
+        ("iterative", 1e-7),
+    ])
+    def test_operator_matches_dense(self, rng, a11_solver, atol):
         a, mdiag, b = small_dae(rng)
         red = schur_reduce(a, mdiag, b, a11_solver=a11_solver)
         ad = a.toarray()
@@ -38,9 +43,21 @@ class TestSchurReduction:
             ad[np.ix_(i1, i1)], ad[np.ix_(i1, i2)])
         x = jnp.asarray(rng.uniform(-1, 1, (red.n2, 3)))
         y = np.asarray(red.operator.matmat(x))
-        assert np.allclose(y, s_dense @ np.asarray(x), atol=1e-10)
+        assert np.allclose(y, s_dense @ np.asarray(x), atol=atol)
         yt = np.asarray(red.operator.rmatmat(x))
-        assert np.allclose(yt, s_dense.T @ np.asarray(x), atol=1e-10)
+        assert np.allclose(yt, s_dense.T @ np.asarray(x), atol=atol)
+
+    def test_iterative_a11_is_jittable(self, rng):
+        # the whole point: the iterative Schur apply stays on device and
+        # compiles (no host callback, no dense factor)
+        import jax
+        a, mdiag, b = small_dae(rng)
+        red = schur_reduce(a, mdiag, b, a11_solver="iterative")
+        x = jnp.asarray(rng.uniform(-1, 1, (red.n2, 2)))
+        op = red.operator
+        y = jax.jit(lambda v: op.matmat(v))(x)
+        y2 = red.operator.matmat(x)
+        assert np.allclose(np.asarray(y), np.asarray(y2), atol=1e-9)
 
     def test_b_restriction_warning(self, rng):
         a, mdiag, b = small_dae(rng)

@@ -234,6 +234,106 @@ class TestDiaSpmmKernel:
                            atol=1e-4)
 
 
+class TestEllSpmmKernel:
+    """Windowed-ELL Pallas kernel (rails_tpu/sparse/ell_spmm.py) - the
+    unstructured-sparsity SpMM the reference gets from Epetra CrsMatrix
+    (/root/reference/src/Epetra_OperatorWrapper.cpp:75-91)."""
+
+    @staticmethod
+    def _banded_random(rng, m, ell_l, band, n=None):
+        n = m if n is None else n
+        base = np.arange(m)
+        idx = base[:, None] * (n / m) + rng.integers(
+            -band, band + 1, size=(m, ell_l))
+        idx = np.clip(idx, 0, n - 1).astype(np.int64)
+        val = rng.uniform(-1, 1, size=(m, ell_l))
+        rows = np.repeat(base, ell_l)
+        return sp.coo_matrix((val.ravel(), (rows, idx.ravel())),
+                             shape=(m, n)).tocsr()
+
+    def test_windowize_qualifies_banded(self, rng):
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = self._banded_random(rng, 1024, 7, 60)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        assert op.fwd.well is not None
+        assert op.fwd.well.w % 128 == 0
+        # window must cover every chunk's span
+        assert op.fwd.well.w <= 512
+
+    def test_windowize_rejects_random(self, rng):
+        # genuinely random sparsity: window ~ n > cap -> no well payload
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = sp.random(4096, 4096, density=0.002, random_state=7,
+                      format="csr")
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        assert op.fwd.well is None
+
+    @pytest.mark.parametrize("m,ell_l,band", [
+        (1024, 7, 60),      # multiple chunks, medium window
+        (1100, 5, 33),      # m % 128 != 0 (padded-chunk path)
+        (512, 13, 150),     # wide window (nw > 2)
+    ])
+    def test_kernel_interpreter_matches_xla(self, rng, m, ell_l, band):
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.ell_spmm import ell_spmm_t
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = self._banded_random(rng, m, ell_l, band)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        ell = op.fwd
+        assert ell.well is not None
+        x = jnp.asarray(rng.uniform(-1, 1, (m, 4)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = ell_spmm_t(ell.well, x.T).T
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-4)
+
+    def test_kernel_interpreter_rectangular(self, rng):
+        # (m, n) with n > m: windows live in column space
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.ell_spmm import ell_spmm_t
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        m, n = 512, 1024
+        a = self._banded_random(rng, m, 5, 40, n=n)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        assert op.fwd.well is not None
+        x = jnp.asarray(rng.uniform(-1, 1, (n, 3)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = ell_spmm_t(op.fwd.well, x.T).T
+        assert y.shape == (m, 3)
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-4)
+
+    def test_hyb_remainder_gets_windowed(self, rng):
+        # HYB split: dense diagonals -> DIA, strays -> ELL; the ELL
+        # remainder should carry a windowed payload when it is banded
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = sp.csr_matrix(laplacian2(1024)).tolil()
+        base = np.arange(0, 1024, 16)
+        for i in base:
+            a[i, min(i + 37, 1023)] = 0.5   # off-stencil strays
+        op = sparse_from_scipy(a.tocsr(), fmt="hyb", dtype=jnp.float32)
+        assert op.format == "hyb"
+        assert op.fwd.ell.well is not None
+
+    def test_astype_preserves_well(self, rng):
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = self._banded_random(rng, 512, 5, 30)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float64)
+        assert op.fwd.well is not None
+        op32 = op.astype(jnp.float32)
+        assert op32.fwd.well is not None
+        assert op32.fwd.well.values.dtype == jnp.float32
+        assert op32.fwd.well.w == op.fwd.well.w
+
+    def test_ell_pytree_roundtrip(self, rng):
+        # well rides the pytree through jit
+        import jax
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = self._banded_random(rng, 512, 5, 30)
+        op = sparse_from_scipy(a, fmt="ell")
+        x = jnp.asarray(rng.uniform(-1, 1, (512, 3)))
+        y = jax.jit(lambda o, v: o.matmat(v))(op, x)
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-10)
+
+
 class TestReorder:
     """RCM bandwidth reduction -> DIA-kernel-friendly structure (TPU-native
     enhancement; no reference analogue, see rails_tpu/sparse/reorder.py)."""
