@@ -189,11 +189,17 @@ def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
     """yt (s, m) = (A @ x)^T for x given transposed as xt (s, n)."""
     m, n = well.shape
     ell_l = well.lidx.shape[0]
+    s = xt.shape[0]
     n_pad = -(-n // _CHUNK) * _CHUNK
-    if n_pad != n:
-        xt = jnp.pad(xt, ((0, 0), (0, n_pad - n)))
-    return _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
-                            ell_l, well.w, m, well.lidx.shape[1])
+    # pad sublanes to a full vreg row count (the hardware gather operates
+    # on full 8-sublane registers) and columns to the 128-padded window
+    # space the c0 clamping assumes
+    s_pad = -(-s // 8) * 8
+    if n_pad != n or s_pad != s:
+        xt = jnp.pad(xt, ((0, s_pad - s), (0, n_pad - n)))
+    out = _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
+                           ell_l, well.w, m, well.lidx.shape[1])
+    return out if s_pad == s else out[:s]
 
 
 def ell_spmm(ell, x: jax.Array) -> jax.Array:

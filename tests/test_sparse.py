@@ -286,6 +286,22 @@ class TestEllSpmmKernel:
             y = ell_spmm_t(ell.well, x.T).T
         assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-4)
 
+    @pytest.mark.parametrize("s", [1, 3, 8])
+    def test_kernel_interpreter_odd_widths(self, rng, s):
+        # sublane padding: multivector widths that are not vreg-row
+        # multiples (s=1 Lanczos vectors, s=3 expand blocks)
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.ell_spmm import ell_spmm_t
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        m = 512
+        a = self._banded_random(rng, m, 5, 40)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        x = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = ell_spmm_t(op.fwd.well, x.T).T
+        assert y.shape == (m, s)
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-4)
+
     def test_kernel_interpreter_rectangular(self, rng):
         # (m, n) with n > m: windows live in column space
         from jax.experimental.pallas import tpu as pltpu
