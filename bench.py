@@ -460,6 +460,8 @@ def mesh_scaling_bench():
 
 
 def _run_phase(args, timeout):
+    if "--cpu" in sys.argv and "--cpu" not in args:
+        args = args + ["--cpu"]
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)] + args,
@@ -510,6 +512,12 @@ def main():
     if ell:
         ell.pop("device", None)
         out.update(ell)
+    mesh = _run_phase(["--mesh"], 900)
+    if mesh:
+        out["mesh_halo_overhead_vs_plain"] = mesh.get(
+            "halo_overhead_vs_plain")
+        out["mesh_devices"] = mesh.get("devices")
+        out["mesh_comm"] = mesh.get("comm")
     print(json.dumps(out))
 
 

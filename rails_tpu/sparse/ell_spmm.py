@@ -43,44 +43,72 @@ __all__ = ["WindowedEll", "ell_windowize", "ell_spmm_t", "ell_spmm"]
 _CHUNK = 128          # output rows per grid step (lane width)
 _W_CAP = 2048         # widest supported window (VPU cost grows with w/128)
 _MIN_ROWS = 256       # below this the XLA path wins on dispatch overhead
+_SLICE_FACTOR = 2.5   # accept sliced layout while L' <= factor * L
+
+# Layout picked when callers don't say: 'masked' until the dynamic-lane
+# -slice read the sliced kernel needs is confirmed on the target Mosaic
+# (benchmarks/probes/probe_dynslice.py).
+DEFAULT_LAYOUT = "masked"
 
 
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass
 class WindowedEll:
     """Kernel-native ELL payload: transposed (L, m_pad) slots with
-    window-local indices plus per-chunk window starts."""
+    window-local indices plus per-chunk window starts.
+
+    Two layouts share this container:
+
+    - **masked** (``sb is None``): ``lidx`` holds window-local indices in
+      [0, w); the kernel gathers each slot from every 128-wide sub-block
+      of the window and combines by masked select (w/128 gathers/slot).
+    - **sliced** (``sb`` present, (nb, L') int32): entries are re-bucketed
+      host-side so each (chunk, slot) lives in ONE sub-block, named by
+      ``sb[chunk, slot]``; ``lidx`` holds within-sub-block indices in
+      [0, 128).  One gather per slot, no masks - at the price of slot
+      padding (L' >= L).  Chosen when L' stays under
+      ``_SLICE_FACTOR * L``.
+    """
 
     c0: jax.Array                    # (nb,) int32, 128-aligned starts
-    lidx: jax.Array                  # (L, m_pad) int32, window-local
-    values: jax.Array                # (L, m_pad)
+    lidx: jax.Array                  # (L', m_pad) int32
+    values: jax.Array                # (L', m_pad)
     w: int                           # static window width (128-multiple)
     shape: Tuple[int, int]           # static logical (m, n)
+    sb: Optional[jax.Array] = None   # (nb, L') int32 sub-block ids
 
     def astype(self, dtype) -> "WindowedEll":
         if self.values.dtype == jnp.dtype(dtype):
             return self
         return WindowedEll(self.c0, self.lidx, self.values.astype(dtype),
-                           self.w, self.shape)
+                           self.w, self.shape, self.sb)
 
     def tree_flatten(self):
-        return (self.c0, self.lidx, self.values), (self.w, self.shape)
+        return (self.c0, self.lidx, self.values, self.sb), (self.w,
+                                                            self.shape)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], aux[0], aux[1])
+        return cls(children[0], children[1], children[2], aux[0], aux[1],
+                   children[3])
 
 
 def ell_windowize(indices: np.ndarray, values: np.ndarray,
-                  shape: Tuple[int, int],
-                  w_cap: int = _W_CAP) -> Optional[WindowedEll]:
+                  shape: Tuple[int, int], w_cap: int = _W_CAP,
+                  layout: Optional[str] = None) -> Optional[WindowedEll]:
     """Host-side analysis: per-128-row-chunk windows over an ELL matrix.
 
     Returns None when the matrix does not qualify (too small, window
     wider than ``w_cap`` or than the column count).  Padding slots must
     carry row-local indices (see formats._ell_from_scipy) or the pads
     themselves blow up the window span.
+
+    ``layout``: 'masked' | 'sliced' | 'auto' (None = module default
+    ``DEFAULT_LAYOUT``).  'auto' prefers sliced when its slot padding
+    stays under ``_SLICE_FACTOR`` x, else masked.
     """
+    if layout is None:
+        layout = DEFAULT_LAYOUT
     m, n = shape
     if m < _MIN_ROWS:
         return None
@@ -107,9 +135,74 @@ def ell_windowize(indices: np.ndarray, values: np.ndarray,
         return None
     c0 = np.minimum(c0, n_pad - w).astype(np.int32)
     lidx = (indices - np.repeat(c0, _CHUNK)[:, None]).astype(np.int32)
+    if layout in ("auto", "sliced") and w > _CHUNK:
+        sliced = _slice_layout(lidx, values, ell_l, w // _CHUNK)
+        if sliced is not None or layout == "sliced":
+            if sliced is None:
+                return None  # explicit request, padding too costly
+            s_lidx, s_val, sb = sliced
+            return WindowedEll(
+                jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(s_lidx.T)),
+                jnp.asarray(np.ascontiguousarray(s_val.T)), w, (m, n),
+                jnp.asarray(sb))
     return WindowedEll(
         jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(lidx.T)),
         jnp.asarray(np.ascontiguousarray(values.T)), w, (m, n))
+
+
+def _slice_layout(lidx: np.ndarray, values: np.ndarray, ell_l: int,
+                  nw: int):
+    """Re-bucket (m_pad, L) window-local ELL entries so each
+    (128-row-chunk, slot) pair touches exactly one 128-wide sub-block.
+
+    Returns (lidx', values', sb) with lidx' (m_pad, L') holding
+    within-sub-block indices, or None when the padded slot count L'
+    exceeds ``_SLICE_FACTOR * L`` (then the masked layout wins)."""
+    m_pad = lidx.shape[0]
+    nb = m_pad // _CHUNK
+    cap = max(int(np.ceil(_SLICE_FACTOR * ell_l)), ell_l + 1)
+    rows = np.arange(_CHUNK)
+    per_chunk = []
+    lp_max = 0
+    for b in range(nb):
+        lb = lidx[b * _CHUNK:(b + 1) * _CHUNK]
+        vb = values[b * _CHUNK:(b + 1) * _CHUNK]
+        live = vb != 0
+        bucket = np.where(live, lb // _CHUNK, nw)  # pads sort last
+        order = np.argsort(bucket, axis=1, kind="stable")
+        j_s = np.take_along_axis(bucket, order, axis=1)
+        l_s = np.take_along_axis(lb % _CHUNK, order, axis=1)
+        v_s = np.take_along_axis(vb, order, axis=1)
+        counts = np.zeros((_CHUNK, nw + 1), dtype=np.int64)
+        np.add.at(counts, (rows[:, None], bucket), 1)
+        maxc = counts[:, :nw].max(axis=0)
+        lp = int(maxc.sum())
+        if lp > cap:
+            return None
+        lp_max = max(lp_max, lp)
+        row_start = np.zeros((_CHUNK, nw + 1), dtype=np.int64)
+        row_start[:, 1:] = np.cumsum(counts[:, :nw], axis=1)
+        glob_start = np.concatenate([[0], np.cumsum(maxc)])
+        valid = j_s < nw
+        j_c = np.minimum(j_s, nw - 1)
+        rank = np.arange(ell_l)[None, :] - np.take_along_axis(
+            row_start, j_c, axis=1)
+        dest = glob_start[j_c] + rank
+        nl = np.zeros((_CHUNK, lp), dtype=np.int32)
+        nv = np.zeros((_CHUNK, lp), dtype=values.dtype)
+        rr = np.broadcast_to(rows[:, None], (_CHUNK, ell_l))
+        nl[rr[valid], dest[valid]] = l_s[valid]
+        nv[rr[valid], dest[valid]] = v_s[valid]
+        sb_b = np.repeat(np.arange(nw, dtype=np.int32), maxc)
+        per_chunk.append((nl, nv, sb_b))
+    out_l = np.zeros((m_pad, lp_max), dtype=np.int32)
+    out_v = np.zeros((m_pad, lp_max), dtype=values.dtype)
+    sb = np.zeros((nb, lp_max), dtype=np.int32)
+    for b, (nl, nv, sb_b) in enumerate(per_chunk):
+        out_l[b * _CHUNK:(b + 1) * _CHUNK, :nl.shape[1]] = nl
+        out_v[b * _CHUNK:(b + 1) * _CHUNK, :nv.shape[1]] = nv
+        sb[b, :len(sb_b)] = sb_b
+    return out_l, out_v, sb
 
 
 @functools.partial(jax.jit, static_argnames=("ell_l", "w", "m", "m_pad"))
@@ -146,6 +239,11 @@ def _ell_spmm_t_impl(c0, lidx, values, xt, ell_l: int, w: int, m: int,
         for l in range(ell_l):
             bidx = jnp.broadcast_to(lidx_ref[l, :][None, :], (s, _CHUNK))
             vrow = val_ref[l, :][None, :]
+            if nw == 1:
+                # single-sub-block window: indices already in [0, 128)
+                g = jnp.take_along_axis(w_ref[slot], bidx, axis=1)
+                acc = acc + vrow * g
+                continue
             for j in range(nw):
                 loc = jnp.clip(bidx - j * _CHUNK, 0, _CHUNK - 1)
                 g = jnp.take_along_axis(
@@ -185,6 +283,79 @@ def _ell_spmm_t_impl(c0, lidx, values, xt, ell_l: int, w: int, m: int,
     return out if m_pad == m else out[:, :m]
 
 
+@functools.partial(jax.jit, static_argnames=("ell_l", "w", "m", "m_pad"))
+def _ell_spmm_t_sliced_impl(c0, sb, lidx, values, xt, ell_l: int, w: int,
+                            m: int, m_pad: int):
+    """Sliced-window schedule: one gather per slot from the sub-block
+    named by sb[chunk, slot] (dynamic 128-aligned lane slice), no
+    masks."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = xt.shape[0]
+    nb = m_pad // _CHUNK
+
+    def kernel(c0_ref, sb_ref, lidx_ref, val_ref, xt_ref, out_ref, w_ref,
+               sems):
+        i = pl.program_id(0)
+
+        def dma(slot, blk):
+            start = pl.multiple_of(c0_ref[blk], _CHUNK)
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(start, w)], w_ref.at[slot],
+                sems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nb)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(i % 2, i).wait()
+        slot = i % 2
+
+        acc = jnp.zeros((s, _CHUNK), dtype=jnp.float32)
+        for l in range(ell_l):
+            sbl = sb_ref[i, l]
+            blk = w_ref[slot, :,
+                        pl.ds(pl.multiple_of(sbl * _CHUNK, _CHUNK), _CHUNK)]
+            bidx = jnp.broadcast_to(lidx_ref[l, :][None, :], (s, _CHUNK))
+            g = jnp.take_along_axis(blk, bidx, axis=1)
+            acc = acc + val_ref[l, :][None, :] * g
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((ell_l, _CHUNK), lambda i, c0, sb: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ell_l, _CHUNK), lambda i, c0, sb: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((s, _CHUNK), lambda i, c0, sb: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, s, w), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, m_pad), xt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ell_l * m_pad * s,
+            bytes_accessed=(2 * ell_l * m_pad + 2 * m_pad * s)
+            * jnp.dtype(xt.dtype).itemsize,
+            transcendentals=0),
+    )(c0, sb, lidx, values, xt)
+    return out if m_pad == m else out[:, :m]
+
+
 def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
     """yt (s, m) = (A @ x)^T for x given transposed as xt (s, n)."""
     m, n = well.shape
@@ -197,8 +368,13 @@ def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
     s_pad = -(-s // 8) * 8
     if n_pad != n or s_pad != s:
         xt = jnp.pad(xt, ((0, s_pad - s), (0, n_pad - n)))
-    out = _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
-                           ell_l, well.w, m, well.lidx.shape[1])
+    if well.sb is not None:
+        out = _ell_spmm_t_sliced_impl(well.c0, well.sb, well.lidx,
+                                      well.values, xt, ell_l, well.w, m,
+                                      well.lidx.shape[1])
+    else:
+        out = _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
+                               ell_l, well.w, m, well.lidx.shape[1])
     return out if s_pad == s else out[:s]
 
 

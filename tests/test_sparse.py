@@ -317,6 +317,68 @@ class TestEllSpmmKernel:
         assert y.shape == (m, 3)
         assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-4)
 
+    @staticmethod
+    def _jittered_stencil(rng, m, offsets, jitter=4):
+        """Stencil with per-entry index jitter: the row patterns are
+        consistent across a chunk (entries bucket the same way), so the
+        sliced layout's padding stays ~2x - the post-RCM mesh shape."""
+        base = np.arange(m)
+        idx = base[:, None] + np.asarray(offsets)[None, :] + rng.integers(
+            -jitter, jitter + 1, size=(m, len(offsets)))
+        idx = np.clip(idx, 0, m - 1)
+        val = rng.uniform(-1, 1, size=idx.shape)
+        rows = np.repeat(base, len(offsets))
+        return sp.coo_matrix((val.ravel(), (rows, idx.ravel())),
+                             shape=(m, m)).tocsr()
+
+    @pytest.mark.parametrize("m,offsets", [
+        (1024, (-130, -60, -1, 0, 1, 59, 131)),
+        (1100, (-40, 0, 41, 97, 160)),
+    ])
+    def test_sliced_layout_matches(self, rng, m, offsets):
+        # sliced-window layout: one gather per slot from sb[chunk, slot]
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.ell_spmm import ell_windowize, ell_spmm_t
+        a = self._jittered_stencil(rng, m, offsets)
+        import rails_tpu.sparse.formats as fm
+        ell = fm._ell_from_scipy(a, jnp.float32)
+        well = ell_windowize(np.asarray(ell.indices),
+                             np.asarray(ell.values), (m, m),
+                             layout="sliced")
+        assert well is not None and well.sb is not None
+        # padding bounded by the acceptance factor
+        assert well.lidx.shape[0] <= int(np.ceil(2.5 * ell.values.shape[1]))
+        # every live sliced entry's index is within one sub-block
+        assert int(jnp.max(well.lidx)) < 128
+        x = jnp.asarray(rng.uniform(-1, 1, (m, 4)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = ell_spmm_t(well, x.T).T
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-4)
+
+    def test_sliced_rejects_costly_padding(self, rng):
+        # rows whose entries pile into one sub-block per row but different
+        # sub-blocks across rows force L' ~ nw*L -> masked layout wins
+        from rails_tpu.sparse.ell_spmm import ell_windowize
+        m, ell_l = 512, 8
+        idx = np.zeros((m, ell_l), np.int64)
+        for i in range(m):
+            base = (i % 4) * 128  # all 8 entries in one of 4 sub-blocks
+            idx[i] = base + np.arange(ell_l)
+        val = np.ones((m, ell_l))
+        rows = np.repeat(np.arange(m), ell_l)
+        a = sp.coo_matrix((val.ravel(), (rows, idx.ravel())),
+                          shape=(m, m)).tocsr()
+        import rails_tpu.sparse.formats as fm
+        ell = fm._ell_from_scipy(a, jnp.float32)
+        well = ell_windowize(np.asarray(ell.indices),
+                             np.asarray(ell.values), (m, m),
+                             layout="sliced")
+        assert well is None  # L' = 4*8 > 2.5*8
+        well_auto = ell_windowize(np.asarray(ell.indices),
+                                  np.asarray(ell.values), (m, m),
+                                  layout="auto")
+        assert well_auto is not None and well_auto.sb is None
+
     def test_hyb_remainder_gets_windowed(self, rng):
         # HYB split: dense diagonals -> DIA, strays -> ELL; the ELL
         # remainder should carry a windowed payload when it is banded
