@@ -370,11 +370,11 @@ def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
         first = pad
     indices = np.repeat(first[:, None], ell_l, axis=1).astype(np.int32)
     values = np.zeros((m, ell_l), dtype=dtype)
-    for i in range(m):
-        lo, hi = csr.indptr[i], csr.indptr[i + 1]
-        cnt = hi - lo
-        indices[i, :cnt] = csr.indices[lo:hi]
-        values[i, :cnt] = csr.data[lo:hi]
+    if csr.nnz:
+        rows = np.repeat(np.arange(m), deg)
+        slots = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
+        indices[rows, slots] = csr.indices
+        values[rows, slots] = csr.data
     well = ell_windowize(indices, values, (m, n))
     return EllMatrix(jnp.asarray(indices), jnp.asarray(values), (m, n),
                      well)
