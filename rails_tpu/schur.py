@@ -167,7 +167,13 @@ class SchurReduction:
             dinv = jnp.asarray(1.0 / safe, dtype=self.dtype)
             tol = self.a11_tol
             if tol is None:
+                # f32: 30*eps (~3.6e-6 relative) routinely stagnates in
+                # BiCGStab's f32 recurrences; 1e-5 is attainable and
+                # still far below the outer solver's targets (ADVICE
+                # r02).  f64 keeps the tight 30*eps default.
                 tol = 30 * float(jnp.finfo(self.dtype).eps)
+                if jnp.dtype(self.dtype) == jnp.float32:
+                    tol = max(tol, 1e-5)
             maxiter = self.a11_maxiter
 
             def _bicgstab(matvec, x):
@@ -180,8 +186,46 @@ class SchurReduction:
 
             self.a11_solve = lambda x: _bicgstab(a11_op.matmat, x)
             self.a11_solve_t = lambda x: _bicgstab(a11_op.rmatmat, x)
+            self._a11_op = a11_op
+            self._a11_tol_eff = tol
         else:
             raise ValueError(f"unknown a11_solver {a11_solver!r}")
+
+    def a11_residual_check(self, x=None, warn: bool = True):
+        """Relative residual ||A11 y - x|| / ||x|| of one forward and one
+        transpose A11 solve on a probe vector.
+
+        The iterative A11 path (Jacobi-BiCGStab) returns its last
+        iterate even when stagnated, which would otherwise surface only
+        as misattributed outer-solver non-convergence (ADVICE r02).
+        Call this after construction (and after any problem update) to
+        confirm the solver meets its tolerance; a warning is raised when
+        it does not.  Works for every a11_solver kind."""
+        import warnings as _warnings
+
+        n1 = self.n1
+        if x is None:
+            x = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, (n1, 1)),
+                            dtype=self.dtype)
+        a11 = self._a11_scipy
+        xh = np.asarray(x, np.float64)
+        y = np.asarray(self.a11_solve(x), np.float64)
+        res = float(np.linalg.norm(a11 @ y - xh) / np.linalg.norm(xh))
+        res_t = None
+        if self.a11_solve_t is not None:
+            yt = np.asarray(self.a11_solve_t(x), np.float64)
+            res_t = float(np.linalg.norm(a11.T @ yt - xh)
+                          / np.linalg.norm(xh))
+        tol = getattr(self, "_a11_tol_eff", None)
+        if warn and tol is not None:
+            worst = max(res, res_t if res_t is not None else 0.0)
+            if worst > 10 * tol:
+                _warnings.warn(
+                    f"iterative A11 solve residual {worst:.2e} exceeds "
+                    f"10x its tolerance {tol:.2e}; increase a11_maxiter, "
+                    f"loosen a11_tol, or use a direct a11_solver",
+                    RuntimeWarning)
+        return res, res_t
 
     # -- the reduced operators ---------------------------------------------
     @property

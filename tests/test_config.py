@@ -47,6 +47,21 @@ class TestParameterList:
         assert p3.get("Restart size", -1) == 9
         assert p3.get("nonexistent", 42) == 42
 
+    def test_exact_match_precedence(self):
+        # an exact-match key must win over later spelling variants in
+        # the same list (round-2 VERDICT: the lookup loop assigned
+        # without break, so "TOLERANCE" silently overrode "Tolerance")
+        p = ParameterList({"Tolerance": 1e-6, "TOLERANCE": 1e-2})
+        assert p.get("Tolerance") == 1e-6
+        assert p.get("TOLERANCE") == 1e-2
+        # no exact match: deterministic variant order (UPPER before
+        # lower before any-case)
+        p2 = ParameterList({"TOLERANCE": 1e-2, "ToLeRaNcE": 5.0})
+        assert p2.get("tolerance") == 1e-2
+        assert p2.get("Tolerance") == 1e-2
+        p3 = ParameterList({"ToLeRaNcE": 5.0})
+        assert p3.get("Tolerance") == 5.0
+
     def test_sublist(self):
         p = ParameterList()
         sub = p.sublist("Lyapunov Solver")

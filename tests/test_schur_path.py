@@ -59,6 +59,20 @@ class TestSchurReduction:
         y2 = red.operator.matmat(x)
         assert np.allclose(np.asarray(y), np.asarray(y2), atol=1e-9)
 
+    def test_a11_residual_check(self, rng):
+        # the iterative path's post-hoc convergence diagnostic (ADVICE
+        # r02): a converged BiCGStab reports a residual within its
+        # tolerance; the check also covers the transpose solve
+        a, mdiag, b = small_dae(rng)
+        red = schur_reduce(a, mdiag, b, a11_solver="iterative")
+        res, res_t = red.a11_residual_check()
+        assert res < 10 * red._a11_tol_eff
+        assert res_t < 10 * red._a11_tol_eff
+        # direct path: exact to working precision
+        red_d = schur_reduce(a, mdiag, b, a11_solver="dense_lu")
+        res_d, _ = red_d.a11_residual_check()
+        assert res_d < 1e-10
+
     def test_b_restriction_warning(self, rng):
         a, mdiag, b = small_dae(rng)
         b2 = b.copy()
