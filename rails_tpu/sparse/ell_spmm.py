@@ -38,7 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WindowedEll", "ell_windowize", "ell_spmm_t", "ell_spmm"]
+__all__ = ["WindowedEll", "ell_windowize", "windowize_arrays",
+           "ell_spmm_t", "ell_spmm", "window_fits_vmem"]
 
 _CHUNK = 128          # output rows per grid step (lane width)
 _W_CAP = 2048         # widest supported window (VPU cost grows with w/128)
@@ -95,7 +96,9 @@ class WindowedEll:
 
 def ell_windowize(indices: np.ndarray, values: np.ndarray,
                   shape: Tuple[int, int], w_cap: int = _W_CAP,
-                  layout: Optional[str] = None) -> Optional[WindowedEll]:
+                  layout: Optional[str] = None,
+                  force_w: Optional[int] = None,
+                  min_rows: int = _MIN_ROWS) -> Optional[WindowedEll]:
     """Host-side analysis: per-128-row-chunk windows over an ELL matrix.
 
     Returns None when the matrix does not qualify (too small, window
@@ -106,11 +109,47 @@ def ell_windowize(indices: np.ndarray, values: np.ndarray,
     ``layout``: 'masked' | 'sliced' | 'auto' (None = module default
     ``DEFAULT_LAYOUT``).  'auto' prefers sliced when its slot padding
     stays under ``_SLICE_FACTOR`` x, else masked.
+
+    ``force_w``: use exactly this window width (128-multiple) instead of
+    the tightest fit - the distributed path needs one static ``w``
+    across every shard (parallel/halo_ell.py).  Returns None if any
+    chunk's span exceeds it.
     """
     if layout is None:
         layout = DEFAULT_LAYOUT
+    res = windowize_arrays(indices, values, shape, w_cap=w_cap,
+                           force_w=force_w, min_rows=min_rows)
+    if res is None:
+        return None
+    c0, lidx, values, w = res
     m, n = shape
-    if m < _MIN_ROWS:
+    ell_l = lidx.shape[1]
+    if layout in ("auto", "sliced") and w > _CHUNK:
+        sliced = _slice_layout(lidx, values, ell_l, w // _CHUNK)
+        if sliced is not None or layout == "sliced":
+            if sliced is None:
+                return None  # explicit request, padding too costly
+            s_lidx, s_val, sb = sliced
+            return WindowedEll(
+                jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(s_lidx.T)),
+                jnp.asarray(np.ascontiguousarray(s_val.T)), w, (m, n),
+                jnp.asarray(sb))
+    return WindowedEll(
+        jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(lidx.T)),
+        jnp.asarray(np.ascontiguousarray(values.T)), w, (m, n))
+
+
+def windowize_arrays(indices: np.ndarray, values: np.ndarray,
+                     shape: Tuple[int, int], w_cap: int = _W_CAP,
+                     force_w: Optional[int] = None,
+                     min_rows: int = _MIN_ROWS):
+    """Numpy core of the masked-layout window analysis: returns
+    ``(c0, lidx, values, w)`` with lidx/values in row-major (m_pad, L)
+    and window-local indices, or None when the matrix does not qualify.
+    Shared by ``ell_windowize`` and the distributed per-shard builder
+    (parallel/halo_ell.py), which stacks shard payloads host-side."""
+    m, n = shape
+    if m < min_rows:
         return None
     indices = np.asarray(indices)
     values = np.asarray(values)
@@ -131,23 +170,15 @@ def ell_windowize(indices: np.ndarray, values: np.ndarray,
     # column space (ell_spmm_t pads xt to n_pad columns; clamping
     # against raw n would break the alignment the DMA promises)
     n_pad = -(-n // _CHUNK) * _CHUNK
+    if force_w is not None:
+        if force_w % _CHUNK or w > force_w:
+            return None
+        w = force_w
     if w > min(w_cap, n_pad):
         return None
     c0 = np.minimum(c0, n_pad - w).astype(np.int32)
     lidx = (indices - np.repeat(c0, _CHUNK)[:, None]).astype(np.int32)
-    if layout in ("auto", "sliced") and w > _CHUNK:
-        sliced = _slice_layout(lidx, values, ell_l, w // _CHUNK)
-        if sliced is not None or layout == "sliced":
-            if sliced is None:
-                return None  # explicit request, padding too costly
-            s_lidx, s_val, sb = sliced
-            return WindowedEll(
-                jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(s_lidx.T)),
-                jnp.asarray(np.ascontiguousarray(s_val.T)), w, (m, n),
-                jnp.asarray(sb))
-    return WindowedEll(
-        jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(lidx.T)),
-        jnp.asarray(np.ascontiguousarray(values.T)), w, (m, n))
+    return c0, lidx, values, w
 
 
 def _slice_layout(lidx: np.ndarray, values: np.ndarray, ell_l: int,
@@ -378,6 +409,18 @@ def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
     return out if s_pad == s else out[:s]
 
 
+# VMEM budget for the double-buffered (2, s_pad, w) window scratch: the
+# chip has ~16 MB/core; leave room for the lidx/values/out blocks and
+# Mosaic's own overheads.  Wide-s multivectors exceed it (ADVICE r02) -
+# they take the XLA path instead of failing Mosaic compilation.
+_SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def window_fits_vmem(well: WindowedEll, s: int, itemsize: int = 4) -> bool:
+    s_pad = -(-s // 8) * 8
+    return 2 * s_pad * well.w * itemsize <= _SCRATCH_BUDGET_BYTES
+
+
 def ell_spmm(ell, x: jax.Array) -> jax.Array:
     """Dispatching ELL SpMM in (n, s) layout: windowed Pallas kernel on
     TPU float32 when the payload qualifies, XLA take path otherwise."""
@@ -385,6 +428,7 @@ def ell_spmm(ell, x: jax.Array) -> jax.Array:
     if (well is not None
             and jax.default_backend() == "tpu"
             and x.dtype == jnp.float32
-            and x.ndim == 2):
+            and x.ndim == 2
+            and window_fits_vmem(well, x.shape[1], x.dtype.itemsize)):
         return ell_spmm_t(well, x.T).T
     return ell.matmat(x)
