@@ -50,17 +50,61 @@ def _shard_payload(payload, mesh):
     raise TypeError(type(payload))
 
 
+def _try_halo_hyb(op, mesh):
+    """HYB fast path: explicit-halo DIA for the dense diagonals +
+    windowed-ELL halo for the remainder, summed (halo_ell.py).  Returns
+    None unless every part - both directions - satisfies its slab
+    geometry; the transpose may be stored as a HYB split or a single
+    ELL (formats.sparse_from_scipy builds either)."""
+    from rails_tpu.parallel.halo_ell import (
+        HaloEllOperator, HaloHybOperator, build_halo_ell)
+    from rails_tpu.parallel.halo_spmm import (
+        HaloDiaOperator, halo_geometry_ok)
+
+    fwd = op.fwd
+    if not halo_geometry_ok(fwd.dia, mesh):
+        return None
+    ell_f = build_halo_ell(fwd.ell, mesh)
+    if ell_f is None:
+        return None
+    tags = dict(is_symmetric=op.is_symmetric, is_spd=op.is_spd,
+                is_hurwitz=op.is_hurwitz)
+    if op.bwd is None:
+        return HaloHybOperator(
+            HaloDiaOperator(fwd.dia, mesh),
+            HaloEllOperator(ell_f, mesh), nnz=op.nnz, **tags)
+    if isinstance(op.bwd, HybMatrix):
+        if not halo_geometry_ok(op.bwd.dia, mesh):
+            return None
+        ell_b = build_halo_ell(op.bwd.ell, mesh)
+        if ell_b is None:
+            return None
+        return HaloHybOperator(
+            HaloDiaOperator(fwd.dia, mesh, op.bwd.dia),
+            HaloEllOperator(ell_f, mesh, ell_b), nnz=op.nnz, **tags)
+    if isinstance(op.bwd, EllMatrix):
+        whole_b = build_halo_ell(op.bwd, mesh)
+        if whole_b is None:
+            return None
+        return HaloHybOperator(
+            HaloDiaOperator(fwd.dia, mesh),
+            HaloEllOperator(ell_f, mesh),
+            rmat_op=HaloEllOperator(whole_b, mesh), nnz=op.nnz, **tags)
+    return None
+
+
 def shard_operator(op: LinearOperator, mesh: Mesh,
                    spmm: str = "auto") -> LinearOperator:
     """Place an operator's payload row-sharded on the mesh.
 
-    ``spmm`` picks the distributed SpMM strategy for DIA payloads:
-    'halo' routes applies through the explicit-halo shard_map operator
-    (ppermute neighbor exchange overlapping a per-chip Pallas kernel -
-    the reference's Epetra Apply pattern,
-    /root/reference/src/Epetra_OperatorWrapper.cpp:75-91), 'gspmd'
-    leaves communication to the partitioner (Pallas disabled), 'auto'
-    uses halo whenever the slab geometry allows.
+    ``spmm`` picks the distributed SpMM strategy for sparse payloads:
+    'halo' routes applies through the explicit-halo shard_map operators
+    (ppermute neighbor exchange + per-chip Pallas kernel - the
+    reference's Epetra Apply pattern,
+    /root/reference/src/Epetra_OperatorWrapper.cpp:75-91; DIA via
+    halo_spmm.py, ELL/HYB via halo_ell.py), 'gspmd' leaves
+    communication to the partitioner (Pallas disabled), 'auto' uses
+    halo whenever the slab geometry allows.
     """
     if spmm not in ("auto", "halo", "gspmd"):
         raise ValueError(f"unknown spmm strategy {spmm!r}")
@@ -90,6 +134,36 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
                     "spmm='halo' requires a square DIA payload with rows "
                     "divisible by the mesh and stencil span within one "
                     "per-device slab")
+        if spmm != "gspmd" and isinstance(op.fwd, EllMatrix):
+            # distributed windowed-ELL fast path (round-2 gap: ELL fell
+            # to GSPMD with Pallas disabled); requires both directions
+            # to qualify so rmatmat stays on the fast path too
+            from rails_tpu.parallel.halo_ell import (
+                HaloEllOperator, build_halo_ell)
+            fwd = build_halo_ell(op.fwd, mesh)
+            if fwd is not None:
+                bwd = None
+                if op.bwd is not None and isinstance(op.bwd, EllMatrix):
+                    bwd = build_halo_ell(op.bwd, mesh)
+                if op.bwd is None or bwd is not None:
+                    return HaloEllOperator(
+                        fwd, mesh, bwd, is_symmetric=op.is_symmetric,
+                        is_spd=op.is_spd, is_hurwitz=op.is_hurwitz,
+                        nnz=op.nnz)
+            if spmm == "halo":
+                raise ValueError(
+                    "spmm='halo' requires a square ELL payload with "
+                    "128-multiple per-device slabs and remote references "
+                    "within the adjacent slabs (both directions)")
+        if spmm != "gspmd" and isinstance(op.fwd, HybMatrix):
+            halo = _try_halo_hyb(op, mesh)
+            if halo is not None:
+                return halo
+            if spmm == "halo":
+                raise ValueError(
+                    "spmm='halo' requires both the DIA and ELL parts of "
+                    "the HYB payload (and its transpose) to satisfy the "
+                    "halo slab geometry")
         bwd = None if op.bwd is None else _shard_payload(op.bwd, mesh)
         return SparseOperator(
             _shard_payload(op.fwd, mesh), bwd,
