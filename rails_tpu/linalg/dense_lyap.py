@@ -48,33 +48,57 @@ def _sym(x):
     return 0.5 * (x + x.T.conj() if jnp.iscomplexobj(x) else x + x.T)
 
 
+def _balance_scaling(e):
+    """Symmetric diagonal balancing D for the pencil: D E D has unit-ish
+    diagonal, collapsing the dynamic range of graded mass matrices
+    (VMV with diag spanning 1e-12..1) before any factorization sees
+    them.  Entries with negligible diagonal fall back to the global
+    scale so D stays bounded."""
+    de = jnp.abs(jnp.diag(e))
+    dmax = jnp.max(de) + jnp.finfo(e.dtype).tiny
+    return jax.lax.rsqrt(jnp.maximum(de, jnp.finfo(e.dtype).eps * dmax))
+
+
 def _reduce_generalized(a, c, e, assume_e_spd: bool):
-    """Reduce A X E' + E X A' + C = 0 to standard form At X̃ + X̃ At' + Ct = 0.
+    """Reduce A X E' + E X A' + C = 0 to standard form At Y + Y At' + Ct
+    = 0.
 
-    Returns (at, ct, back) where ``back(y)`` maps the solution of the
-    standard equation back to X.
+    Returns (at, c_fwd, back): ``c_fwd`` transforms any symmetric
+    right-hand side into the reduced space (used again by the
+    generalized-residual refinement), ``back`` maps a reduced solution
+    to X.
 
-    - SPD path (Cholesky congruence): E = L L', At = L^{-1} A L^{-T},
-      Ct = L^{-1} C L^{-T}, X = L^{-T} Y L^{-1}.  Preserves symmetry of A.
-    - General path: At = E^{-1} A, Ct = E^{-1} C E^{-T}, X = Y unchanged.
+    - SPD path: eigendecompose E = Q diag(lam) Q' and congruence-
+      transform with Z = Q diag(max(lam, delta))^{-1/2}; Z'EZ = I.
+      Unlike a Cholesky/solve(E, .) reduction - whose forward error
+      grows with cond(E)^2, the regime where SLICOT's QZ-based sg03ad
+      stays backward-stable (/root/reference/matlab/mex/lyap.c:55-84) -
+      the congruence is multiplication-only, and the Tikhonov-style
+      eigenvalue clip keeps it finite through numerically semidefinite
+      E.  Preserves symmetry of A (the eigh fast path survives).
+    - General path: At = E^{-1} A, Ct = E^{-1} C E^{-T}, X = Y.
     """
     if assume_e_spd:
-        l = jnp.linalg.cholesky(e)
-        at = jax.scipy.linalg.solve_triangular(l, a, lower=True)
-        at = jax.scipy.linalg.solve_triangular(l, at.T, lower=True).T
-        ct = jax.scipy.linalg.solve_triangular(l, c, lower=True)
-        ct = jax.scipy.linalg.solve_triangular(l, ct.T, lower=True).T
+        lam, q = jnp.linalg.eigh(_sym(e))
+        delta = 10 * jnp.finfo(e.dtype).eps * (
+            jnp.max(jnp.abs(lam)) + jnp.finfo(e.dtype).tiny)
+        z = q * jax.lax.rsqrt(jnp.maximum(lam, delta))[None, :]
+        at = z.T @ a @ z
+
+        def c_fwd(cc):
+            return _sym(z.T @ cc @ z)
 
         def back(y):
-            x = jax.scipy.linalg.solve_triangular(l, y, lower=True, trans="T")
-            x = jax.scipy.linalg.solve_triangular(l, x.T, lower=True, trans="T").T
-            return x
+            return z @ y @ z.T
 
-        return at, _sym(ct), back
+        return at, c_fwd, back
 
     at = jnp.linalg.solve(e, a)
-    ct = jnp.linalg.solve(e, jnp.linalg.solve(e, c).T).T
-    return at, _sym(ct), lambda y: y
+
+    def c_fwd(cc):
+        return _sym(jnp.linalg.solve(e, jnp.linalg.solve(e, cc).T).T)
+
+    return at, c_fwd, lambda y: y
 
 
 def _eigh_factor(a):
@@ -177,7 +201,8 @@ def _lyap_kron(a, c, e=None):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "method", "assume_e_spd", "sign_iterations", "refine"))
+    "method", "assume_e_spd", "sign_iterations", "refine",
+    "refine_generalized"))
 @highest_precision
 def lyap(
     a: jax.Array,
@@ -188,6 +213,7 @@ def lyap(
     assume_e_spd: bool = False,
     sign_iterations: int = 30,
     refine: Optional[int] = None,
+    refine_generalized: Optional[int] = None,
 ) -> jax.Array:
     """Solve A X E' + E X A' + C = 0 for symmetric X.
 
@@ -195,14 +221,23 @@ def lyap(
     /root/reference/src/LyapunovSolver.hpp:348-365; generalized path at
     /root/reference/matlab/RAILSsolver.m:383).
 
+    The generalized path is hardened against ill-conditioned pencils
+    (the regime where sg03ad's QZ stays backward-stable): symmetric
+    diagonal balancing of (A, E, C), an eigenvalue-clipped congruence
+    reduction for SPD E, and ``refine_generalized`` rounds of iterative
+    refinement on the *generalized* residual A X E' + E X A' + C
+    (default 2 when ``e`` is given), which repairs the reduction's
+    cond(E)-dependent roundoff rather than only the inner
+    factorization's.
+
     Args:
       a: (k, k) real matrix.
       c: (k, k) real symmetric matrix.
       e: optional (k, k) nonsingular matrix (generalized equation).
       method: 'schur' (general A), 'eigh' (symmetric A), 'sign'
         (Hurwitz A), or 'kron' (small-k robust fallback / oracle).
-      assume_e_spd: use Cholesky congruence for E (preserves symmetry of A,
-        enabling the eigh path for symmetric pencils).
+      assume_e_spd: use the symmetry-preserving congruence for E
+        (enables the eigh path for symmetric pencils).
     """
     a = jnp.asarray(a)
     c = jnp.asarray(c)
@@ -210,30 +245,57 @@ def lyap(
         raise ValueError(f"a must be square, got {a.shape}")
     if refine is None:
         refine = 1 if jnp.dtype(a.dtype) == jnp.float32 else 0
+    if refine_generalized is None:
+        refine_generalized = 0 if e is None else 2
+
+    d = None
+    if e is not None:
+        d = _balance_scaling(e)
+        a = d[:, None] * a * d[None, :]
+        c = d[:, None] * c * d[None, :]
+        e = d[:, None] * e * d[None, :]
 
     if method == "kron":
-        return _lyap_kron(a, c, e)
+        x = _lyap_kron(a, c, e)
+        # X = D X_bal D (the balanced solution is X_bal = D^{-1} X D^{-1})
+        return x if d is None else x * d[:, None] * d[None, :]
 
+    c_fwd = _sym
     back = lambda y: y
+    a_red = a
     if e is not None:
-        a, c, back = _reduce_generalized(a, c, e, assume_e_spd)
+        a_red, c_fwd, back = _reduce_generalized(a, c, e, assume_e_spd)
 
     if method in ("eigh", "schur"):
         factor = _eigh_factor if method == "eigh" else _schur_factor
-        slv = factor(a)
-        x = slv(c)
+        slv = factor(a_red)
+    elif method == "sign":
+        slv = functools.partial(_lyap_sign, a_red,
+                                iterations=sign_iterations)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    ct = c_fwd(c) if e is not None else c
+    y = slv(ct)
+    if method in ("eigh", "schur"):
         # Iterative refinement with the cached factorization: one cheap
         # correction recovers most of the accuracy float32 loses in the
         # transform roundoff (TPU path; no-op cost at float64).
         for _ in range(refine):
-            r = a @ x + x @ a.T + c
-            x = x - slv(-r)
-        x = _sym(x)
-    elif method == "sign":
-        x = _lyap_sign(a, c, iterations=sign_iterations)
-    else:
-        raise ValueError(f"unknown method {method!r}")
-    return back(x)
+            r = a_red @ y + y @ a_red.T + ct
+            y = y - slv(-r)
+    x = back(_sym(y))
+    if e is not None:
+        # refinement against the generalized residual: the correction
+        # reuses the (possibly clipped/ill-conditioned) reduction as a
+        # preconditioner, so the final residual is governed by the true
+        # equation, not by the reduction's conditioning
+        for _ in range(refine_generalized):
+            r = a @ x @ e.T + e @ x @ a.T + c
+            x = x + back(_sym(slv(c_fwd(r))))
+        # X = D X_bal D (the balanced solution is X_bal = D^{-1} X D^{-1})
+        x = _sym(x) * d[:, None] * d[None, :]
+    return x
 
 
 def lyap_residual(a, x, c, e=None):
