@@ -59,6 +59,7 @@ def eigs(
     max_restarts: int = 100,
     subspace: Optional[int] = None,
     drop_tol: Optional[float] = None,
+    block_size: int = 1,
     key: Optional[jax.Array] = None,
     dtype=None,
     return_info: bool = False,
@@ -71,6 +72,17 @@ def eigs(
     |lambda| <= tol * |lambda_max| (Epetra_OperatorWrapper.cpp:205-218).
     Emits EigsConvergenceWarning if restarts are exhausted before the
     requested pairs converge.
+
+    ``block_size`` is the Anasazi "Block Size" capability
+    (/root/reference/src/Epetra_OperatorWrapper.cpp:166): a single-
+    vector Krylov space contains one direction per eigenspace, so
+    clustered/multiple eigenvalues (the solution operator's
+    near-degenerate covariance pairs) are found only through roundoff
+    leakage - slowly or not at all.  With ``block_size=b`` the sweep
+    builds the band-Lanczos space K(A, [v1..vb]) - each new column is A
+    applied to the column b back, fully reorthogonalized - recovering
+    eigenvalue multiplicity up to b directly.  Default 1 is exactly the
+    classic thick-restart Lanczos path.
     """
     apply_op, m = _as_apply(op)
     if dtype is None:
@@ -78,29 +90,34 @@ def eigs(
     if key is None:
         key = jax.random.PRNGKey(0)
     num = min(num, m)
+    if block_size < 1:
+        raise ValueError(f"block_size must be >= 1, got {block_size}")
+    b = min(block_size, m)
     if subspace is None:
-        subspace = min(m, max(2 * num + 10, 20))
+        subspace = min(m, max(2 * num + 10, 20, 4 * b))
     # a subspace barely larger than num cannot host a thick restart:
     # grow it (capped by m, where the sweep is exact anyway)
-    L = min(m, max(subspace, num + 2))
+    L = min(m, max(subspace, num + 2, num + b + 1))
     eps = float(jnp.finfo(dtype).eps)
 
     @jax.jit
     @highest_precision
     def sweep(basis, nb, key):
         """Extend an orthonormal basis (m, L) holding nb valid columns by
-        Lanczos-with-full-reorth until L columns; returns the projected
-        matrix G = Q' A Q and the new basis."""
+        (band-)Lanczos-with-full-reorth until L columns; returns the
+        projected matrix G = Q' A Q and the new basis."""
         def body(carry, j):
             q, key = carry
             key, sub = jax.random.split(key)
             # Krylov continuation: kept Ritz columns pass through; new
-            # columns are A applied to the previous basis vector, fully
-            # reorthogonalized (thick-restart Lanczos).
-            prev = q[:, jnp.maximum(j - 1, 0)]
+            # columns are A applied to the column b back (block Krylov
+            # in band ordering; b=1 is plain Lanczos), fully
+            # reorthogonalized (thick restart).  Starting-block columns
+            # with no column b back are fresh random directions.
+            prev = q[:, jnp.maximum(j - b, 0)]
             col = jnp.where(
                 j < nb, q[:, j],
-                jnp.where(j == 0,
+                jnp.where(j < b,
                           jax.random.normal(sub, (m,), dtype=dtype),
                           apply_op(prev[:, None])[:, 0]))
             # orthogonalize (twice) against previous columns

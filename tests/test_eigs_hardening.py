@@ -63,6 +63,63 @@ class TestEigsSymmetric:
         assert np.allclose(np.sort(np.asarray(evals)), d, atol=1e-8)
 
 
+class TestBlockLanczos:
+    """Anasazi Block-Krylov-Schur capability (VERDICT r02 item 7,
+    /root/reference/src/Epetra_OperatorWrapper.cpp:147-222, block size
+    at :166): eigenvalue multiplicity up to the block size is
+    recovered from the block Krylov space directly, where a
+    single-vector space contains one direction per eigenspace."""
+
+    @pytest.fixture(scope="class")
+    def mult3_operator(self):
+        # dense (non-diagonal) symmetric operator with a multiplicity-3
+        # dominant eigenvalue at n=1000 over a decaying continuum
+        n = 1000
+        d = np.concatenate([[10.0, 10.0, 10.0],
+                            np.linspace(5.0, 0.1, n - 3)])
+        rng = np.random.default_rng(7)
+        q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+        a = (q * d) @ q.T
+        return DenseOperator(jnp.asarray(0.5 * (a + a.T)),
+                             is_symmetric=True)
+
+    def test_single_sweep_multiplicity(self, mult3_operator):
+        # one sweep, no restart: the single-vector Krylov space contains
+        # exactly one copy of the triple eigenvalue (the other "pairs"
+        # are continuum contamination); the block-3 space holds all
+        # three copies at once
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", EigsConvergenceWarning)
+            ev1, _ = eigs(mult3_operator, num=3, tol=1e-10,
+                          max_restarts=1, block_size=1)
+            ev3, _ = eigs(mult3_operator, num=3, tol=1e-10,
+                          max_restarts=1, block_size=3)
+        ev1, ev3 = np.asarray(ev1), np.asarray(ev3)
+        assert abs(ev1[0] - 10.0) < 1e-6
+        assert ev1[1] < 6.0  # second copy missing from the single space
+        assert np.all(np.abs(ev3 - 10.0) < 0.01)  # all three present
+
+    def test_block_recovers_multiplicity(self, mult3_operator):
+        ev, vecs, info = eigs(mult3_operator, num=3, tol=1e-9,
+                              max_restarts=10, block_size=3,
+                              return_info=True)
+        assert info.converged
+        ev, vecs = np.asarray(ev), np.asarray(vecs)
+        assert np.allclose(ev, 10.0, atol=1e-8)
+        assert np.allclose(vecs.T @ vecs, np.eye(3), atol=1e-9)
+        av = np.asarray(mult3_operator.matmat(jnp.asarray(vecs)))
+        assert np.linalg.norm(av - 10.0 * vecs) < 1e-6
+
+    def test_block_one_matches_default(self):
+        n = 300
+        d = np.linspace(0.5, 8.0, n)
+        op = DenseOperator(jnp.asarray(np.diag(d)), is_symmetric=True)
+        e1, v1 = eigs(op, num=4, tol=1e-9)
+        e2, v2 = eigs(op, num=4, tol=1e-9, block_size=1)
+        assert np.array_equal(np.asarray(e1), np.asarray(e2))
+        assert np.array_equal(np.asarray(v1), np.asarray(v2))
+
+
 class TestEigsGeneral:
     def test_complex_pairs_n500(self):
         # block-diagonal with dominant 2x2 rotation blocks -> leading
