@@ -24,8 +24,12 @@ Matrices qualify when every 128-row chunk's column span fits a bounded
 window - true for banded/structured matrices and for general ones after
 RCM reordering (rails_tpu.sparse.reorder).  Genuinely random sparsity
 (window ~ n) falls back to the XLA path; no TPU memory system does well
-there.  Measured on v5e (m=2^21, L=8..16, s=16): 2.3-3.5 Gnnz/s,
-49-99x the XLA take path (benchmarks/probes/probe_ell_kernel.py).
+there.  Measured on v5e at m=2^21, L=8, band 64, s=16 (committed
+artifact benchmarks/BENCH_r03_tpu_prerun.json): 2.45 Gnnz/s = 79.9x
+the XLA take path, at 0.57 of the measured gather-issue ceiling
+(100.6M (16,128)-gathers/s; the masked layout spends w/128 = 3 gathers
+per slot-chunk, so the ceiling is 4.29 Gnnz/s - the sliced layout's
+single gather per slot raises it 3x where it qualifies).
 """
 
 from __future__ import annotations

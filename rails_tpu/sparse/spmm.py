@@ -17,9 +17,12 @@ edge lanes at compute time (static masks) - no XLA patch passes.  Only
 the ``m % R`` remainder rows fall back to a small XLA slice-add strip.
 
 ``dia_spmm(dia, x)`` is the layout-compatible wrapper: on TPU float32 it
-transposes in and out of the (s, m) layout; measurements on v5e show the
-transposes cost < 1% (the kernel is the bottleneck), so the wrapper is
-fine for solver use where V lives in (m, k) layout.
+transposes in and out of the (s, m) layout.  Round-3 measurement
+(BENCH_r03_tpu_prerun.json spmm_wrapper_overhead): the two XLA
+transposes cost 1.35x at the bench geometry - consistent with 4 extra
+HBM passes of x/y traffic now that the kernel itself sits at 0.95 of
+the stream ceiling.  benchmarks/probes/probe_kernel_nt.py evaluates a
+native-(m, s)-layout kernel variant that removes them.
 
 This is the BASELINE.md north-star SpMM: per-chip speed-of-light on
 structured (stencil) sparsity; under row sharding the window overlap is
