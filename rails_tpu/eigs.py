@@ -215,16 +215,24 @@ def eigs_general(
     return_info: bool = False,
 ):
     """Largest-|lambda| eigenpairs of a general (nonsymmetric) operator
-    via restarted Arnoldi (the nonsymmetric capability of Anasazi's block
-    Krylov-Schur, /root/reference/src/Epetra_OperatorWrapper.cpp:147-222;
-    MATLAB uses ARPACK ``eigs(A, 1)`` this way in test_random.m:26).
+    via thick-restarted Arnoldi (the nonsymmetric capability of
+    Anasazi's block Krylov-Schur,
+    /root/reference/src/Epetra_OperatorWrapper.cpp:147-222; MATLAB uses
+    ARPACK ``eigs(A, 1)`` this way in test_random.m:26).
+
+    Each sweep extends an orthonormal *complex* basis by fully
+    reorthogonalized Arnoldi continuation, recomputes the Rayleigh
+    quotient G = Q^H A Q, and solves the small dense eigenproblem by
+    complex Schur (LAPACK on CPU, our QR-iteration kernel on TPU) +
+    inverse iteration on the triangular factor.  Restarts keep an
+    orthonormalized basis of the leading Ritz subspace (round 3:
+    replaces the round-2 explicit single-vector restart mix, which is
+    known to stagnate on defective/clustered nonsymmetric spectra) -
+    converged pairs ride along locked in the kept block.
 
     Returns complex (eigenvalues, eigenvectors), |lambda| descending
     (plus an EigsInfo when ``return_info=True``); warns with
-    EigsConvergenceWarning on restart exhaustion.  The small projected
-    eigenproblem is solved by complex Schur (LAPACK on CPU, our
-    QR-iteration kernel on TPU) + inverse iteration on the triangular
-    factor.
+    EigsConvergenceWarning on restart exhaustion.
     """
     apply_op, m = _as_apply(op)
     if dtype is None:
@@ -267,84 +275,88 @@ def eigs_general(
         vecs = jax.vmap(vec)(jnp.arange(k)).T
         return lam, vecs
 
-    key, sub = jax.random.split(key)
-    q0 = jax.random.normal(sub, (m,), dtype=dtype)
-    q0 = q0 / jnp.linalg.norm(q0)
-
     @jax.jit
     @highest_precision
-    def arnoldi(q_start):
-        q = jnp.zeros((m, L), dtype=dtype).at[:, 0].set(q_start)
-        h = jnp.zeros((L + 1, L), dtype=dtype)
-
+    def sweep(basis, nb, key):
+        """Extend an orthonormal complex basis (m, L) holding nb valid
+        columns by fully reorthogonalized Arnoldi continuation; returns
+        the basis, A @ basis, and the Rayleigh quotient G = Q^H A Q."""
         def body(carry, j):
-            q, h = carry
-            w = apply_op(q[:, j][:, None])[:, 0]
-            mask = (jax.lax.broadcasted_iota(jnp.int32, (L,), 0) <= j
+            q, key = carry
+            key, sub = jax.random.split(key)
+            # REAL random directions: for a real operator the
+            # complexified span of real seeds is conjugate-symmetric,
+            # so complex pairs enter together (a complex seed would
+            # suppress the conjugate partner)
+            rnd = jax.random.normal(sub, (m,), dtype=dtype).astype(cdtype)
+            prev = q[:, jnp.maximum(j - 1, 0)]
+            aprev = (apply_op(jnp.real(prev)[:, None])
+                     + 1j * apply_op(jnp.imag(prev)[:, None]))[:, 0]
+            col = jnp.where(j < nb, q[:, j],
+                            jnp.where(j == 0, rnd, aprev.astype(cdtype)))
+            mask = (jax.lax.broadcasted_iota(jnp.int32, (L,), 0) < j
                     ).astype(dtype)
             qm = q * mask[None, :]
-            coef = qm.T @ w
-            w = w - qm @ coef
-            w = w - qm @ (qm.T @ w)  # second pass
-            beta = jnp.linalg.norm(w)
-            h = h.at[:L, j].set(coef)
-            h = h.at[j + 1, j].set(beta)
-            w = jnp.where(beta > 0, w / jnp.where(beta > 0, beta, 1.0), 0.0)
-            q = jax.lax.cond(
-                j + 1 < L, lambda q: q.at[:, j + 1].set(w), lambda q: q, q)
-            return (q, h), None
+            for _ in range(2):
+                col = col - qm @ (qm.conj().T @ col)
+            nrm = jnp.linalg.norm(col)
+            small = nrm < eps * 100
+            col = jnp.where(small, rnd, col)
+            for _ in range(2):
+                col = col - qm @ (qm.conj().T @ col)
+            col = col / jnp.linalg.norm(col)
+            q = q.at[:, j].set(col)
+            return (q, key), None
 
-        (q, h), _ = jax.lax.scan(body, (q, h), jnp.arange(L))
-        return q, h
+        (q, key), _ = jax.lax.scan(body, (basis, key), jnp.arange(L))
+        aq = (apply_op(jnp.real(q)).astype(cdtype)
+              + 1j * apply_op(jnp.imag(q)).astype(cdtype))
+        g = q.conj().T @ aq
+        return q, aq, g, key
 
+    basis = jnp.zeros((m, L), dtype=cdtype)
+    nb = jnp.int32(0)
     best = None
     converged = False
     restart = 0
-    resid = None
+    rnorm = None
     for restart in range(max(1, max_restarts)):
-        q, h = arnoldi(q0)
-        lam, svecs = small_eig(h[:L, :L])
+        q, aq, g, key = sweep(basis, nb, key)
+        lam, svecs = small_eig(g)
         order = jnp.argsort(-jnp.abs(lam))
         lam = lam[order]
         svecs = svecs[:, order]
-        ritz = q.astype(cdtype) @ svecs[:, :num]
-        ritz = ritz / jnp.linalg.norm(ritz, axis=0, keepdims=True)
-        av = apply_op(jnp.real(ritz)) + 1j * apply_op(jnp.imag(ritz))
-        resid = av - ritz * lam[None, :num]
-        rnorm = jnp.linalg.norm(resid, axis=0)
-        best = (lam[:num], ritz)
+        ritz_all = q @ svecs
+        nr = jnp.linalg.norm(ritz_all, axis=0, keepdims=True)
+        ritz_all = ritz_all / jnp.where(nr > 0, nr, 1.0)
+        aritz = aq @ (svecs / jnp.where(nr > 0, nr, 1.0))
+        rnorm = jnp.linalg.norm(
+            aritz[:, :num] - ritz_all[:, :num] * lam[None, :num], axis=0)
+        best = (lam[:num], ritz_all[:, :num])
         scale = float(jnp.abs(lam[0])) + 1e-300
         conv_mask = np.asarray(rnorm <= tol * scale)
         if conv_mask.all() or L >= m:
-            # L >= m: the Arnoldi factorization is exact up to roundoff;
-            # accept sqrt(eps)-level residuals rather than spinning
+            # L >= m: the factorization is exact up to roundoff; accept
+            # sqrt(eps)-level residuals rather than spinning
             converged = bool(conv_mask.all()) or (
                 L >= m and bool(np.asarray(
                     rnorm <= np.sqrt(eps) * scale).all()))
             break
-        # restart from a mix of all unconverged Ritz vectors (explicit
-        # restart spanning every wanted direction), deflated against the
-        # converged Ritz directions so locked pairs stay out of the new
-        # Krylov direction
-        w = jnp.asarray(~conv_mask, dtype=dtype)
-        mix = ritz @ w.astype(cdtype)
-        vec = jnp.real(mix) + 0.5 * jnp.imag(mix)
-        locked = ritz[:, conv_mask] if conv_mask.any() else None
-        if locked is not None:
-            lr = jnp.concatenate(
-                [jnp.real(locked), jnp.imag(locked)], axis=1)
-            nl = jnp.linalg.norm(lr, axis=0)
-            lr = lr[:, np.asarray(nl > 1e-12)]
-            if lr.shape[1]:
-                lq, _ = jnp.linalg.qr(lr)
-                vec = vec - lq @ (lq.T @ vec)
-        nrm = float(jnp.linalg.norm(vec))
-        if nrm < eps * 100:
-            key, sub = jax.random.split(key)
-            vec = jax.random.normal(sub, (m,), dtype=dtype)
-            nrm = float(jnp.linalg.norm(vec))
-        q0 = vec / nrm
-    rnorm_out = np.asarray(jnp.linalg.norm(resid, axis=0))
+        # thick restart: keep an orthonormal basis of the leading Ritz
+        # subspace (converged leading pairs ride along locked; the next
+        # sweep's Rayleigh quotient is recomputed, so any orthonormal
+        # basis of the kept span works).  Never cut between two Ritz
+        # values of (near-)equal modulus - splitting a complex pair
+        # would destroy the span's conjugate symmetry.
+        keep = min(num + max(num // 2, 3), L - 2)
+        lam_abs = np.abs(np.asarray(lam))
+        while keep < L - 2 and lam_abs[keep] > (1 - 1e-8) * lam_abs[
+                keep - 1]:
+            keep += 1
+        kq, _ = jnp.linalg.qr(ritz_all[:, :keep])
+        basis = jnp.zeros((m, L), dtype=cdtype).at[:, :keep].set(kq)
+        nb = jnp.int32(keep)
+    rnorm_out = np.asarray(rnorm)
     scale = float(jnp.abs(best[0][0])) + 1e-300
     n_conv = 0
     for r in rnorm_out:
