@@ -130,9 +130,17 @@ def main(argv=None) -> int:
     print("Computing eigenvalues of the solution operator")
     with timer("Driver", "eigenvalues"):
         sop = red.solution_operator(v, t)
-        evals, _ = eigs(sop, num=num,
-                        tol=float(eig_params.get("Convergence Tolerance",
-                                                 1e-6)))
+        # Anasazi BlockKrylovSchurSolMgr parameter names pass through
+        # (the reference forwards the whole "Eigenvalue Solver" sublist,
+        # /root/reference/src/Epetra_OperatorWrapper.cpp:163-186)
+        bsz = int(eig_params.get("Block Size", 1))
+        nblocks = eig_params.get("Num Blocks")  # subspace = bsz * blocks
+        evals, _ = eigs(
+            sop, num=num,
+            tol=float(eig_params.get("Convergence Tolerance", 1e-6)),
+            block_size=bsz,
+            max_restarts=int(eig_params.get("Maximum Restarts", 100)),
+            subspace=None if nblocks is None else bsz * int(nblocks))
 
     with timer("Driver", "trace"):
         trace = float(red.trace(v, t))
