@@ -170,8 +170,14 @@ def eigs(
             break
         # thick restart: keep the leading num + a few Ritz vectors
         # (converged leading pairs ride along locked in the kept block
-        # and pass through the next sweep unchanged)
+        # and pass through the next sweep unchanged).  Avoid cutting
+        # through a degenerate cluster - keep whole eigenspaces so the
+        # locked block stays an invariant-subspace approximation.
         keep = min(num + max(num // 2, 3), L - 2)
+        evals_abs = np.abs(np.asarray(evals))
+        while keep < L - 2 and evals_abs[keep] > (1 - 1e-8) * evals_abs[
+                keep - 1]:
+            keep += 1
         basis = basis.at[:, :keep].set(ritz[:, :keep])
         nb = jnp.int32(keep)
 
