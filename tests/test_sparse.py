@@ -331,6 +331,24 @@ class TestEllSpmmKernel:
         return sp.coo_matrix((val.ravel(), (rows, idx.ravel())),
                              shape=(m, m)).tocsr()
 
+    def test_vmem_budget_guard(self, rng):
+        # wide multivectors overflow the (2, s_pad, w) window scratch;
+        # the dispatcher must fall back to XLA instead of failing
+        # Mosaic compilation (ADVICE r02)
+        from rails_tpu.sparse.ell_spmm import (
+            _SCRATCH_BUDGET_BYTES, window_fits_vmem)
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        a = self._banded_random(rng, 1024, 7, 60)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        well = op.fwd.well
+        assert window_fits_vmem(well, 16)
+        s_over = _SCRATCH_BUDGET_BYTES // (2 * well.w * 4) + 8
+        assert not window_fits_vmem(well, s_over)
+        # the oversized apply still computes correctly via the XLA path
+        x = jnp.asarray(rng.uniform(-1, 1, (1024, 4)), jnp.float32)
+        y = np.asarray(op.matmat(x))
+        assert np.allclose(y, a @ np.asarray(x), atol=1e-4)
+
     @pytest.mark.parametrize("m,offsets", [
         (1024, (-130, -60, -1, 0, 1, 59, 131)),
         (1100, (-40, 0, 41, 97, 160)),
