@@ -1,15 +1,26 @@
-"""Probe: native-layout (m, s) DIA SpMM kernel variant.
+"""Probe: native-layout (m, s) DIA SpMM kernel variant, v2.
 
-The production solver keeps V in (m, k); the v2 kernel wants (s, m), so
-dia_spmm pays two XLA transposes per apply - measured 1.35x on the
-round-3 bench (spmm_wrapper_overhead), consistent with 4 extra HBM
-passes of x/y traffic.  This variant ingests x as (m, s) and emits
-(m, s): the DMA copies (win, s) windows, one in-VMEM transpose per
-block rotates the window into the (s, win) full-lane compute
-orientation, and the (s, r) accumulator is transposed back before the
-store.  VMEM transposes ride the VPU shuffle network (~TB/s), so the
-extra cost should be far below the 4 saved HBM passes - IF Mosaic
-compiles large 2D transposes.  That is what this probe measures.
+The production solver keeps V in (m, k); the v2 transposed kernel wants
+(s, m), so dia_spmm pays two XLA transposes per apply - measured 1.35x
+on the round-3 bench (spmm_wrapper_overhead), consistent with 4 extra
+HBM passes of x/y traffic.
+
+v1 of this probe held (win, 16) VMEM windows - Mosaic pads the 16-lane
+minor dim to 128 (8x memory) and the double-buffered scratch blew VMEM
+(remote compile HTTP 500).  v2 views x (m, 16) as its free bitcast
+(m/8, 128): every VMEM buffer stays compact, and the kernel reaches the
+(16, win) full-lane compute layout by an in-register reshape +
+transpose, with the reverse chain on the way out.
+
+MEASURED CONCLUSION (round 3): dead end on this toolchain.  Plain 2D
+transposes compile (probe_transpose_kernel.py: (32768, 16) ok), but
+the lane->sublane reshape v2 needs fails Mosaic at every size
+(probe_reshape_kernel.py: HTTP 500), and without it the padded-buffer
+variant only fits VMEM at block sizes whose window overlap costs as
+much as the XLA transposes it saves.  End-to-end the wrapper overhead
+is ~4% of a solve iteration (Gram GEMMs dominate), so the production
+path keeps the transposed kernel + XLA transposes, with the overhead
+recorded honestly as spmm_wrapper_overhead in the bench artifact.
 """
 import functools
 import time
@@ -26,16 +37,17 @@ from rails_tpu.sparse.spmm import _round_up, dia_spmm_t
 
 @functools.partial(
     jax.jit,
-    static_argnames=("offsets", "block_rows", "pad_l", "tail"))
-def dia_spmm_nt(data, x, offsets, block_rows: int, pad_l: int, tail: int):
-    """y (m, s) = A @ x for x (m, s); interior-blocks-only prototype
-    (assumes pad_l/tail fit and m % block_rows == 0; first/last blocks
-    masked like v2)."""
-    d, m = data.shape
-    s = x.shape[1]
+    static_argnames=("offsets", "block_rows", "pad_l", "tail", "s"))
+def dia_spmm_nt(data, x_r, offsets, block_rows: int, pad_l: int,
+                tail: int, s: int):
+    """y_r (m/8, 128) = reshaped A @ x for x_r = x.reshape(m/8, 128),
+    x (m, s) row-major, s*8 == 128.  First/last blocks masked like v2;
+    assumes m % block_rows == 0."""
+    d, m = data.shape[0], data.shape[1]
     r = block_rows
     win = r + pad_l + tail
     nb = m // r
+    pack = 128 // s  # rows packed per 128-lane line (8 at s=16)
     first_special = pad_l > 0
     last_special = tail > 0
 
@@ -44,19 +56,20 @@ def dia_spmm_nt(data, x, offsets, block_rows: int, pad_l: int, tail: int):
 
         def dma_first(slot):
             return pltpu.make_async_copy(
-                x_ref.at[pl.ds(0, r + tail), :],
-                w_ref.at[slot, pl.ds(pad_l, r + tail), :], sems.at[slot])
+                x_ref.at[pl.ds(0, (r + tail) // pack), :],
+                w_ref.at[slot, pl.ds(pad_l // pack, (r + tail) // pack), :],
+                sems.at[slot])
 
         def dma_interior(slot, blk):
-            start = pl.multiple_of(blk * r - pad_l, 128)
+            start = pl.multiple_of((blk * r - pad_l) // pack, 128 // pack)
             return pltpu.make_async_copy(
-                x_ref.at[pl.ds(start, win), :], w_ref.at[slot],
+                x_ref.at[pl.ds(start, win // pack), :], w_ref.at[slot],
                 sems.at[slot])
 
         def dma_last(slot):
-            have = pad_l + r
+            have = (pad_l + r) // pack
             return pltpu.make_async_copy(
-                x_ref.at[pl.ds((nb - 1) * r - pad_l, have), :],
+                x_ref.at[pl.ds(((nb - 1) * r - pad_l) // pack, have), :],
                 w_ref.at[slot, pl.ds(0, have), :], sems.at[slot])
 
         def on_dma(blk, go):
@@ -87,7 +100,8 @@ def dia_spmm_nt(data, x, offsets, block_rows: int, pad_l: int, tail: int):
         on_dma(i, lambda c: c.wait())
         slot = i % 2
 
-        wt = jnp.swapaxes(w_ref[slot], 0, 1)  # (s, win) compute layout
+        w = w_ref[slot][:]                      # (win/pack, 128) compact
+        wt = jnp.swapaxes(jnp.reshape(w, (win, s)), 0, 1)  # (s, win)
 
         def acc_for(mask_kind):
             acc = jnp.zeros((s, r), dtype=jnp.float32)
@@ -104,26 +118,28 @@ def dia_spmm_nt(data, x, offsets, block_rows: int, pad_l: int, tail: int):
                 acc = acc + contrib
             return acc
 
+        def store(acc):
+            back = jnp.swapaxes(acc, 0, 1)      # (r, s)
+            out_ref[:] = jnp.reshape(
+                back, (r // pack, 128)).astype(out_ref.dtype)
+
         interior = jnp.full((), True)
         if first_special:
             interior &= i != 0
 
             @pl.when(i == 0)
             def _():
-                out_ref[:] = jnp.swapaxes(
-                    acc_for("first"), 0, 1).astype(out_ref.dtype)
+                store(acc_for("first"))
         if last_special:
             interior &= i != nb - 1
 
             @pl.when((i == nb - 1) & (i != 0 if first_special else True))
             def _():
-                out_ref[:] = jnp.swapaxes(
-                    acc_for("last"), 0, 1).astype(out_ref.dtype)
+                store(acc_for("last"))
 
         @pl.when(interior)
         def _():
-            out_ref[:] = jnp.swapaxes(
-                acc_for(None), 0, 1).astype(out_ref.dtype)
+            store(acc_for(None))
 
     return pl.pallas_call(
         kernel,
@@ -132,19 +148,18 @@ def dia_spmm_nt(data, x, offsets, block_rows: int, pad_l: int, tail: int):
             pl.BlockSpec((d, r), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((r, s), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((r // pack, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, s), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((m // pack, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, win, s), x.dtype),
+            pltpu.VMEM((2, win // pack, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * d * m * s,
-            bytes_accessed=(d * m + 2 * m * s)
-            * jnp.dtype(x.dtype).itemsize,
+            bytes_accessed=(d * m + 2 * m * s) * 4,
             transcendentals=0),
-    )(data, x)
+    )(data, x_r)
 
 
 def chain_time(fn, x0, lo=10, hi=40, repeats=3):
@@ -181,7 +196,9 @@ def main():
     tail = _round_up(side, 128)
 
     wrap = jax.jit(lambda v: dia_spmm_t(dia, v.T, block_rows=r).T)
-    nt = jax.jit(lambda v: dia_spmm_nt(data, v, offsets, r, pad_l, tail))
+    nt = jax.jit(lambda v: dia_spmm_nt(
+        data, v.reshape(m // 8, 128), offsets, r, pad_l, tail, s
+    ).reshape(m, s))
     y_ref = wrap(x)
     try:
         y_nt = nt(x)

@@ -21,8 +21,11 @@ transposes in and out of the (s, m) layout.  Round-3 measurement
 (BENCH_r03_tpu_prerun.json spmm_wrapper_overhead): the two XLA
 transposes cost 1.35x at the bench geometry - consistent with 4 extra
 HBM passes of x/y traffic now that the kernel itself sits at 0.95 of
-the stream ceiling.  benchmarks/probes/probe_kernel_nt.py evaluates a
-native-(m, s)-layout kernel variant that removes them.
+the stream ceiling.  A native-(m, s)-layout variant was probed and
+rejected (probe_kernel_nt.py: Mosaic pads 16-lane VMEM buffers 8x, and
+the lane->sublane reshape that would avoid it does not compile); since
+Gram GEMMs dominate solve iterations the wrapper costs ~4% end to end,
+and the overhead is recorded in the bench artifact instead.
 
 This is the BASELINE.md north-star SpMM: per-chip speed-of-light on
 structured (stencil) sparsity; under row sharding the window overlap is
