@@ -398,6 +398,168 @@ def dia_spmm_t(dia: DiaMatrix, xt: jax.Array,
     return _dia_spmm_t_impl(dia.data, xt, offsets, r, pad_l, tail, rem)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("offsets", "block_rows", "pad_l", "tail"))
+def _dia_spmm_t_halo_impl(data, xt, hl, hh, offsets: Tuple[int, ...],
+                          block_rows: int, pad_l: int, tail: int):
+    """v2 schedule with *halo inputs* instead of edge masks: the first
+    block's window prefix comes from ``hl`` (s, pad_l) = rows
+    [-pad_l, 0) of the global vector, the last block's suffix from
+    ``hh`` (s, tail) = rows [m, m+tail).  This is the distributed
+    shard-local kernel: the XLA boundary-patch passes the previous halo
+    path paid (measured 1.72x of the plain kernel at nd=1,
+    BENCH_r03_tpu_prerun.json mesh note) collapse into two extra tiny
+    DMAs on the edge blocks.  Requires m % block_rows == 0 and >= 2
+    blocks; the caller guarantees both (parallel/halo_spmm.py picks a
+    block size dividing the shard).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    d, m = data.shape
+    s = xt.shape[0]
+    r = block_rows
+    win = r + pad_l + tail
+    nb = m // r
+
+    def kernel(data_ref, xt_ref, hl_ref, hh_ref, out_ref, w_ref, sems):
+        i = pl.program_id(0)
+
+        def main_first(slot):
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(0, r + tail)],
+                w_ref.at[slot, :, pl.ds(pad_l, r + tail)],
+                sems.at[slot, 0])
+
+        def halo_lo(slot):
+            return pltpu.make_async_copy(
+                hl_ref, w_ref.at[slot, :, pl.ds(0, pad_l)],
+                sems.at[slot, 1])
+
+        def main_interior(slot, blk):
+            start = pl.multiple_of(blk * r - pad_l, 128)
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(start, win)], w_ref.at[slot],
+                sems.at[slot, 0])
+
+        def main_last(slot):
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds((nb - 1) * r - pad_l, pad_l + r)],
+                w_ref.at[slot, :, pl.ds(0, pad_l + r)], sems.at[slot, 0])
+
+        def halo_hi(slot):
+            return pltpu.make_async_copy(
+                hh_ref, w_ref.at[slot, :, pl.ds(pad_l + r, tail)],
+                sems.at[slot, 1])
+
+        def on_dma(blk, go):
+            slot = blk % 2
+
+            @pl.when(blk == 0)
+            def _():
+                go(main_first(slot))
+                go(halo_lo(slot))
+
+            @pl.when(blk == nb - 1)
+            def _():
+                go(main_last(slot))
+                go(halo_hi(slot))
+
+            @pl.when((blk > 0) & (blk < nb - 1))
+            def _():
+                go(main_interior(slot, blk))
+
+        @pl.when(i == 0)
+        def _():
+            on_dma(0, lambda c: c.start())
+
+        @pl.when(i + 1 < nb)
+        def _():
+            on_dma(i + 1, lambda c: c.start())
+
+        on_dma(i, lambda c: c.wait())
+        slot = i % 2
+
+        acc = jnp.zeros((s, r), dtype=jnp.float32)
+        for idx, off in enumerate(offsets):
+            a0 = pad_l + off
+            acc = acc + data_ref[idx, :][None, :] \
+                * w_ref[slot, :, a0:a0 + r]
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((d, r), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((s, r), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((s, m), xt.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, s, win), xt.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * d * m * s,
+            bytes_accessed=(d * m + 2 * m * s)
+            * jnp.dtype(xt.dtype).itemsize,
+            transcendentals=0),
+    )(data, xt, hl, hh)
+
+
+def halo_block_rows(m: int, s: int, d: int, pad_l: int, tail: int,
+                    itemsize: int = 4, block_rows: int = 32768):
+    """Largest VMEM-fitting 128-multiple block size that divides ``m``
+    (the halo kernel has no remainder path), or None."""
+    if m % 128:
+        return None
+    budget = 11 * 1024 * 1024 - 2 * s * (pad_l + tail) * itemsize
+    r_fit = budget // ((5 * s + 2 * d) * itemsize)
+    cap = min(block_rows, max((r_fit // 128) * 128, 128)) // 128
+    units = m // 128
+    span = max(pad_l, tail)
+    for k in range(cap, 0, -1):
+        r = k * 128
+        if r <= span:
+            break  # smaller r only gets worse
+        if units % k == 0 and m // r >= 2:
+            return r
+    return None
+
+
+def dia_spmm_t_halo(dia: DiaMatrix, xt: jax.Array, hl: jax.Array,
+                    hh: jax.Array) -> jax.Array:
+    """Shard-local y^T = (A @ x)^T with explicit halo inputs.
+
+    ``hl`` (s, pad_l) holds global rows [-pad_l, 0) (zeros beyond the
+    true boundary), ``hh`` (s, tail) rows [m, m+tail); pad_l/tail are
+    the 128-rounded stencil spans.  Falls back to the masked kernel +
+    XLA edge patches via the caller when the geometry doesn't fit.
+    """
+    m, _ = dia.shape
+    offsets = dia.offsets
+    s = xt.shape[0]
+    span_lo = max(0, -min(offsets))
+    span_hi = max(0, max(offsets))
+    pad_l = _round_up(span_lo, 128)
+    tail = _round_up(span_hi, 128)
+    if pad_l == 0 or tail == 0:
+        raise ValueError("one-sided stencil: use the masked kernel")
+    if hl.shape != (s, pad_l) or hh.shape != (s, tail):
+        raise ValueError(
+            f"halo shapes {hl.shape}/{hh.shape} != (s, {pad_l})/(s, {tail})")
+    r = halo_block_rows(m, s, len(offsets), pad_l, tail,
+                        jnp.dtype(xt.dtype).itemsize)
+    if r is None:
+        raise ValueError("no VMEM-fitting block size divides the shard")
+    return _dia_spmm_t_halo_impl(dia.data, xt, hl, hh, offsets, r, pad_l,
+                                 tail)
+
+
 def dia_spmm_pallas(dia: DiaMatrix, x: jax.Array,
                     block_rows: int = 32768) -> jax.Array:
     """(m, s) layout wrapper around the transposed kernel."""

@@ -95,6 +95,28 @@ class TestShardedSolve:
         x2 = np.asarray(v2) @ np.asarray(t2) @ np.asarray(v2).T
         assert np.allclose(x1, x2, atol=1e-10)
 
+    def test_halo_kernel_path_matches_fallback(self, rng, mesh):
+        """The TPU shard body (halo-aware Pallas kernel, transposed
+        layout) computes the same distributed apply as the XLA fallback
+        body - forced on CPU via interpret mode."""
+        from jax.experimental.pallas import tpu as pltpu
+        import rails_tpu.parallel.halo_spmm as hs
+        from rails_tpu.sparse.formats import DiaMatrix
+        m, s = 8192, 4  # m_loc = 1024 per device
+        offsets = (-100, -1, 0, 1, 100)
+        data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)),
+                           jnp.float32)
+        dia = DiaMatrix(data, offsets, (m, m))
+        x = jnp.asarray(rng.uniform(-1, 1, (m, s)), jnp.float32)
+        y_ref = hs.halo_dia_spmm(dia, x, mesh)
+        try:
+            hs._FORCE_HALO_KERNEL = True
+            with pltpu.force_tpu_interpret_mode():
+                y = hs.halo_dia_spmm(dia, x, mesh)
+        finally:
+            hs._FORCE_HALO_KERNEL = False
+        assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+
     def test_mesh_spmm_strategy_fallback(self, rng, mesh):
         """Geometry that cannot host the halo exchange falls back to
         GSPMD ('auto'), and spmm='halo' rejects it loudly."""

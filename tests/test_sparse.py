@@ -233,6 +233,32 @@ class TestDiaSpmmKernel:
         assert np.allclose(np.asarray(y), np.asarray(dia.matmat(x)),
                            atol=1e-4)
 
+    def test_halo_kernel_interpreter(self, rng):
+        """Halo-aware kernel: edge-block windows come from explicit halo
+        inputs (the distributed shard-local path, parallel/halo_spmm.py)
+        - equals the masked kernel plus manual halo contributions."""
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.formats import DiaMatrix
+        from rails_tpu.sparse.spmm import dia_spmm_t_halo
+        m, s = 1024, 5
+        offsets = (-130, -1, 0, 2, 130)
+        pad_l = tail = 256  # round_up(130, 128)
+        data = np.asarray(rng.uniform(-1, 1, (len(offsets), m)),
+                          np.float32)
+        x = np.asarray(rng.uniform(-1, 1, (m, s)), np.float32)
+        hl = np.asarray(rng.uniform(-1, 1, (s, pad_l)), np.float32)
+        hh = np.asarray(rng.uniform(-1, 1, (s, tail)), np.float32)
+        # reference on the halo-extended vector
+        x_ext = np.concatenate([hl.T, x, hh.T], axis=0)
+        y_ref = np.zeros((m, s), np.float32)
+        for k, off in enumerate(offsets):
+            y_ref += data[k][:, None] * x_ext[pad_l + off:pad_l + off + m]
+        dia = DiaMatrix(jnp.asarray(data), offsets, (m, m))
+        with pltpu.force_tpu_interpret_mode():
+            y = dia_spmm_t_halo(dia, jnp.asarray(x.T), jnp.asarray(hl),
+                                jnp.asarray(hh)).T
+        assert np.allclose(np.asarray(y), y_ref, atol=1e-4)
+
 
 class TestEllSpmmKernel:
     """Windowed-ELL Pallas kernel (rails_tpu/sparse/ell_spmm.py) - the
