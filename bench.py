@@ -125,12 +125,16 @@ def phase_spmm(impl: str) -> None:
     float(total_fn(apply_fn(vt)))  # warm up (compile + run)
     print(f"spmm[{impl}]: timing...", file=sys.stderr, flush=True)
     lo, hi = (10, 60) if on_tpu else (2, 10)
-    dt = _chain_time(apply_fn, vt, total_fn, lo, hi)
+    # repeats=6: the remote-TPU tunnel occasionally stalls a dispatch
+    # mid-chain, inflating one repeat; the min over more repeats keeps
+    # the stream ceiling and wrapper-overhead ratios stable run to run
+    # (r03 observed 636 vs 713 GB/s stream across two 3-repeat runs)
+    dt = _chain_time(apply_fn, vt, total_fn, lo, hi, repeats=6)
 
     # measured stream ceiling: XLA elementwise over the same array
     stream_fn = jax.jit(lambda x: x * 0.999)
     float(total_fn(stream_fn(vt)))
-    dt_stream = _chain_time(stream_fn, vt, total_fn, lo, hi)
+    dt_stream = _chain_time(stream_fn, vt, total_fn, lo, hi, repeats=6)
     stream_gbs = 2 * m * s * jnp.dtype(dtype).itemsize / dt_stream / 1e9
 
     nnz = len(offsets) * m
@@ -157,7 +161,7 @@ def phase_spmm(impl: str) -> None:
         v = vt.T
         wrap_fn = jax.jit(lambda x: dia_spmm(dia, x))
         float(total_fn(wrap_fn(v)))
-        dt_wrap = _chain_time(wrap_fn, v, total_fn, lo, hi)
+        dt_wrap = _chain_time(wrap_fn, v, total_fn, lo, hi, repeats=6)
         out["spmm_wrapped_nnz_per_s"] = nnz / dt_wrap
         out["spmm_wrapper_overhead"] = dt_wrap / dt
     print(json.dumps(out))

@@ -9,7 +9,12 @@ across chunks runs unpredicated - no branch cost where it cannot help).
 
 Measures masked vs sliced vs sliced-pred at the bench geometry.
 """
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "..", ".."))
 
 import numpy as np
 import jax
