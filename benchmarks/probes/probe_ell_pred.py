@@ -18,6 +18,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 
 import numpy as np
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -131,7 +136,7 @@ def main():
 
     # masked baseline
     well_m = ell_windowize(indices, values, (m, m), layout="masked")
-    fn_m = jax.jit(lambda x: ell_spmm_t(well_m, x))
+    fn_m = lambda x: ell_spmm_t(well_m, x)
     y_ref = np.asarray(fn_m(xt))
     dt = chain_time(fn_m, xt)
     print(f"masked:      w={well_m.w}  {nnz / dt / 1e9:.2f} Gnnz/s "
@@ -149,7 +154,11 @@ def main():
     lpp = well_s.lidx.shape[0]
     print(f"sliced L'={lpp}, lp: min={lp_arr.min()} med="
           f"{np.median(lp_arr):.0f} max={lp_arr.max()}")
-    fn_s = jax.jit(lambda x: ell_spmm_t(well_s, x))
+    # NO outer jit: an outer jit closing over the payload embeds it as
+    # HLO constants - at L'=24, m=2^21 that is ~400MB of request body,
+    # which the remote-compile tunnel rejects (HTTP 413).  The inner
+    # impl is already jitted with the payload as runtime arguments.
+    fn_s = lambda x: ell_spmm_t(well_s, x)
     try:
         y_s = np.asarray(fn_s(xt))
         err = np.max(np.abs(y_s - y_ref))
@@ -167,9 +176,13 @@ def main():
         if (n_pad != m or s_pad != s) else xt
     floor = int(lp_arr.min())
     lp_j = jnp.asarray(lp_arr)
-    fn_p = jax.jit(lambda x: sliced_pred_impl(
+    pred_jit = jax.jit(sliced_pred_impl,
+                       static_argnames=("ell_l", "w", "m", "m_pad",
+                                        "lp_floor"))
+    fn_p = lambda x: pred_jit(
         well_s.c0, well_s.sb, lp_j, well_s.lidx, well_s.values, x,
-        lpp, well_s.w, m, well_s.lidx.shape[1], floor)[:s])
+        ell_l=lpp, w=well_s.w, m=m, m_pad=well_s.lidx.shape[1],
+        lp_floor=floor)[:s]
     try:
         y_p = np.asarray(fn_p(xt_p))
         err = np.max(np.abs(y_p - y_ref))

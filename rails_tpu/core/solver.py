@@ -35,6 +35,7 @@ reference's row-partitioned MPI design (SURVEY.md section 2.7).
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 import warnings
@@ -297,18 +298,30 @@ class LyapunovSolver:
                 state = shard_state(state, self.mesh)
         cap_kb, s_slot = static["cap_kb"], static["s_slot"]
 
+        ops = self._ops_tuple()
+
         def step_for(kb, probe_state=None):
             st = dict(static, kb=kb, k_limit=min(m, kb - s_slot))
             key = (kb, opt.maxit)
             if key not in self._engine_cache:
-                engine = jax.jit(self._build_iterate(st))
+                # The operator payloads enter as jit ARGUMENTS (pytrees),
+                # not closure constants: embedded constants bloat the
+                # executable with the whole sparse payload and force a
+                # recompile whenever the payload values change - the
+                # continuation/refinement drivers re-solve with updated
+                # A, which now hits the persistent compile cache instead.
+                def engine_fn(ops, state, st=st):
+                    with self._swapped_ops(ops):
+                        return self._build_iterate(st)(state)
+
+                engine = jax.jit(engine_fn)
                 if probe_state is not None:
                     # AOT-compile under a named timer so the capacity
                     # ladder's recompile tax is visible in the profile
                     # (VERDICT round-1 item 10); the Compiled object is
                     # the engine, so nothing compiles twice
                     with timer("Solver", f"compile[kb={kb}]"):
-                        engine = engine.lower(probe_state).compile()
+                        engine = engine.lower(ops, probe_state).compile()
                 self._engine_cache[key] = engine
             return self._engine_cache[key]
 
@@ -324,17 +337,22 @@ class LyapunovSolver:
                 if wl_key not in self._engine_cache:
                     st_full = dict(static, kb=cap_kb,
                                    k_limit=min(m, cap_kb - s_slot))
-                    iterate = self._build_iterate(st_full)
+
                     # cond takes a dynamic iteration target so the same
-                    # engine serves chunked and uninterrupted runs
-                    self._engine_cache[wl_key] = jax.jit(
-                        lambda st, tgt: jax.lax.while_loop(
-                            lambda s: (~s.done) & (s.iter < tgt),
-                            iterate, st))
+                    # engine serves chunked and uninterrupted runs; the
+                    # operators ride in as arguments (see step_for)
+                    def wl_fn(ops, st, tgt):
+                        with self._swapped_ops(ops):
+                            iterate = self._build_iterate(st_full)
+                            return jax.lax.while_loop(
+                                lambda s: (~s.done) & (s.iter < tgt),
+                                iterate, st)
+
+                    self._engine_cache[wl_key] = jax.jit(wl_fn)
                 engine = self._engine_cache[wl_key]
                 chunk = opt.timevec_chunk
                 if chunk <= 0:
-                    state = engine(state, jnp.int32(opt.maxit))
+                    state = engine(ops, state, jnp.int32(opt.maxit))
                     state.res.block_until_ready()
                     marks = [(int(state.iter), time.perf_counter() - t0)]
                 else:
@@ -345,7 +363,7 @@ class LyapunovSolver:
                     marks = []
                     while True:
                         tgt = min(int(state.iter) + chunk, opt.maxit)
-                        state = engine(state, jnp.int32(tgt))
+                        state = engine(ops, state, jnp.int32(tgt))
                         it_now = int(state.iter)  # sync point
                         marks.append((it_now, time.perf_counter() - t0))
                         if bool(state.done):
@@ -369,7 +387,7 @@ class LyapunovSolver:
                             state = shard_state(state, self.mesh)
                         step = step_for(kb)
                 with timer("Solver", "iterate"):
-                    state = step(state)
+                    state = step(ops, state)
                     done = bool(state.done)
                 timevec.append(time.perf_counter() - t0)
                 if opt.verbosity > 0:
@@ -421,6 +439,36 @@ class LyapunovSolver:
     # ------------------------------------------------------------------
     # initialization (host side; shapes become static)
     # ------------------------------------------------------------------
+    def _ops_tuple(self):
+        """The payload-carrying pytree passed to the jitted engines.
+
+        Everything m-sized that the iterate reads goes through here so
+        it enters the compiled program as runtime arguments instead of
+        embedded constants (constants bloat the executable by the whole
+        sparse payload and defeat the persistent compile cache when the
+        payload values change between solves, e.g. under continuation)."""
+        return (self.A, self.B, self.M,
+                None if self._b_is_operator else self._b_array,
+                self.b_sign)
+
+    @contextlib.contextmanager
+    def _swapped_ops(self, ops):
+        """Temporarily bind the (possibly tracer-carrying) operator
+        pytree onto self while an engine traces ``_build_iterate``."""
+        old = (self.A, self.B, self.M,
+               getattr(self, "_b_array", None), self.b_sign)
+        self.A, self.B, self.M = ops[0], ops[1], ops[2]
+        if ops[3] is not None:
+            self._b_array = ops[3]
+        self.b_sign = ops[4]
+        try:
+            yield
+        finally:
+            self.A, self.B, self.M = old[0], old[1], old[2]
+            if old[3] is not None:
+                self._b_array = old[3]
+            self.b_sign = old[4]
+
     def _b_matmat(self, x):
         if self._b_is_operator:
             return self.B.matmat(x)
