@@ -243,6 +243,7 @@ def phase_ell() -> None:
     out = {"ell_rows": m, "ell_slots": ell_l, "ell_nnz": nnz,
            "ell_windowed": well is not None,
            "ell_window": getattr(well, "w", None),
+           "ell_nc": getattr(well, "nc", 1),
            "ell_layout": ("sliced" if getattr(well, "sb", None) is not None
                           else "masked") if well is not None else None,
            "device": dev_kind}

@@ -24,12 +24,22 @@ Matrices qualify when every 128-row chunk's column span fits a bounded
 window - true for banded/structured matrices and for general ones after
 RCM reordering (rails_tpu.sparse.reorder).  Genuinely random sparsity
 (window ~ n) falls back to the XLA path; no TPU memory system does well
-there.  Measured on v5e at m=2^21, L=8, band 64, s=16 (committed
-artifact benchmarks/BENCH_r03_tpu_prerun.json): 2.45 Gnnz/s = 79.9x
-the XLA take path, at 0.57 of the measured gather-issue ceiling
-(100.6M (16,128)-gathers/s; the masked layout spends w/128 = 3 gathers
-per slot-chunk, so the ceiling is 4.29 Gnnz/s - the sliced layout's
-single gather per slot raises it 3x where it qualifies).
+there.
+
+Measured on v5e at m=2^21, L=8, band 64, s=16: the single-chunk masked
+kernel runs 2.45 Gnnz/s = 0.57 of the measured gather-issue ceiling
+(100.6M (16,128)-gathers/s; masked spends w/128 = 3 gathers per
+slot-chunk -> ceiling 4.29 Gnnz/s).  Round-3 A/B (probe_ell_pred): the
+sliced single-gather layout times the SAME 2.4 Gnnz/s and pl.when slot
+predication HALVES it - the gap is per-grid-step overhead, not
+per-gather work.  The shipped kernel therefore groups _NC_DEFAULT=4
+chunks per grid step under one super-window DMA
+(_ell_spmm_t_nc_impl): 4.16 Gnnz/s = 0.97 of the gather-issue ceiling,
+1.70x the single-chunk kernel, ~135x the XLA take path.  The sliced
+layout (one gather/slot, 3x ceiling) stays available but non-default:
+its (nb, L') sub-block table must live in SMEM, which caps out near
+nb=2048 chunks (2-D) / ~200KB (flattened) on this toolchain - too
+small for production row counts.
 """
 
 from __future__ import annotations
@@ -46,6 +56,7 @@ __all__ = ["WindowedEll", "ell_windowize", "windowize_arrays",
            "ell_spmm_t", "ell_spmm", "window_fits_vmem"]
 
 _CHUNK = 128          # output rows per grid step (lane width)
+_NC_DEFAULT = 4       # 128-row chunks sharing one grid step / DMA
 _W_CAP = 2048         # widest supported window (VPU cost grows with w/128)
 _MIN_ROWS = 256       # below this the XLA path wins on dispatch overhead
 _SLICE_FACTOR = 2.5   # accept sliced layout while L' <= factor * L
@@ -54,6 +65,30 @@ _SLICE_FACTOR = 2.5   # accept sliced layout while L' <= factor * L
 # -slice read the sliced kernel needs is confirmed on the target Mosaic
 # (benchmarks/probes/probe_dynslice.py).
 DEFAULT_LAYOUT = "masked"
+
+
+def group_windows(c0: np.ndarray, w: int, nc: int, n_pad: int):
+    """Group ``nc`` consecutive 128-row chunks under one super-window.
+
+    Returns (c0s, offs, w_super): per-group 128-aligned DMA starts, the
+    per-chunk block offset of each chunk's own w-wide window inside its
+    group's super-window, and the static super-window width.  Host-side;
+    feeds the multi-chunk kernel (_ell_spmm_t_nc_impl), which amortizes
+    the per-grid-step overhead (DMA wait, sequencing) over ``nc`` chunks
+    - measured as the dominant cost beyond the raw gather rate
+    (probe_ell_pred: sliced == masked at ~0.57 of the gather ceiling,
+    so the gap is per-step overhead, not per-gather work)."""
+    nb = len(c0)
+    nbs = -(-nb // nc)
+    if nbs * nc != nb:
+        raise ValueError("chunk count must be a multiple of nc")
+    cg = c0.reshape(nbs, nc)
+    c0s = cg.min(axis=1)
+    w_super = int((cg.max(axis=1) + w - c0s).max())
+    w_super = -(-w_super // _CHUNK) * _CHUNK
+    c0s = np.minimum(c0s, max(n_pad - w_super, 0)).astype(np.int32)
+    offs = ((cg - c0s[:, None]) // _CHUNK).astype(np.int32).reshape(-1)
+    return c0s, offs, w_super
 
 
 @jax.tree_util.register_pytree_node_class
@@ -81,21 +116,29 @@ class WindowedEll:
     w: int                           # static window width (128-multiple)
     shape: Tuple[int, int]           # static logical (m, n)
     sb: Optional[jax.Array] = None   # (nb, L') int32 sub-block ids
+    # multi-chunk grouping (masked layout): nc 128-row chunks share one
+    # super-window DMA; each chunk's own w-wide window sits at block
+    # offset offs[chunk] inside it (see group_windows)
+    c0s: Optional[jax.Array] = None  # (nb/nc,) int32 group DMA starts
+    offs: Optional[jax.Array] = None  # (nb,) int32 per-chunk block offset
+    w_super: int = 0                 # static super-window width
+    nc: int = 1                      # chunks per grid step
 
     def astype(self, dtype) -> "WindowedEll":
         if self.values.dtype == jnp.dtype(dtype):
             return self
         return WindowedEll(self.c0, self.lidx, self.values.astype(dtype),
-                           self.w, self.shape, self.sb)
+                           self.w, self.shape, self.sb, self.c0s,
+                           self.offs, self.w_super, self.nc)
 
     def tree_flatten(self):
-        return (self.c0, self.lidx, self.values, self.sb), (self.w,
-                                                            self.shape)
+        return (self.c0, self.lidx, self.values, self.sb, self.c0s,
+                self.offs), (self.w, self.shape, self.w_super, self.nc)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(children[0], children[1], children[2], aux[0], aux[1],
-                   children[3])
+                   children[3], children[4], children[5], aux[2], aux[3])
 
 
 def ell_windowize(indices: np.ndarray, values: np.ndarray,
@@ -138,9 +181,27 @@ def ell_windowize(indices: np.ndarray, values: np.ndarray,
                 jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(s_lidx.T)),
                 jnp.asarray(np.ascontiguousarray(s_val.T)), w, (m, n),
                 jnp.asarray(sb))
+    # multi-chunk grouping for the masked kernel: amortize the per-grid
+    # -step cost over _NC_DEFAULT chunks when the windows advance slowly
+    # enough that one super-window covers the group (banded / post-RCM
+    # shapes; irregular window jumps fall back to nc=1)
+    n_pad = -(-n // _CHUNK) * _CHUNK
+    c0s = offs = None
+    w_super, nc = 0, 1
+    nb = len(c0)
+    for cand in (_NC_DEFAULT, 2):
+        if cand <= 1 or nb % cand:
+            continue
+        c0s_np, offs_np, w_s = group_windows(np.asarray(c0), w, cand,
+                                             n_pad)
+        if w_s <= min(w + cand * _CHUNK, n_pad):
+            c0s, offs = jnp.asarray(c0s_np), jnp.asarray(offs_np)
+            w_super, nc = w_s, cand
+            break
     return WindowedEll(
         jnp.asarray(c0), jnp.asarray(np.ascontiguousarray(lidx.T)),
-        jnp.asarray(np.ascontiguousarray(values.T)), w, (m, n))
+        jnp.asarray(np.ascontiguousarray(values.T)), w, (m, n),
+        None, c0s, offs, w_super, nc)
 
 
 def windowize_arrays(indices: np.ndarray, values: np.ndarray,
@@ -318,6 +379,101 @@ def _ell_spmm_t_impl(c0, lidx, values, xt, ell_l: int, w: int, m: int,
     return out if m_pad == m else out[:, :m]
 
 
+@functools.partial(jax.jit, static_argnames=("ell_l", "w", "w_super",
+                                             "nc", "m", "m_pad"))
+def _ell_spmm_t_nc_impl(c0s, offs, lidx, values, xt, ell_l: int, w: int,
+                        w_super: int, nc: int, m: int, m_pad: int):
+    """Masked kernel, ``nc`` chunks per grid step: one (s, w_super) DMA
+    serves nc consecutive 128-row chunks; chunk c gathers from the
+    w-wide sub-window at block offset offs[step*nc + c] (dynamic
+    128-aligned lane slices).  Measured motivation: the single-chunk
+    kernel sits at ~0.57 of the raw gather-issue rate and removing the
+    select ops (sliced layout) does not move it - the gap is per-step
+    overhead, amortized here over nc chunks (and the super-window DMAs
+    ~w_super/nc bytes per chunk instead of w, fewer for banded
+    matrices)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = xt.shape[0]
+    nb = m_pad // _CHUNK
+    nbs = nb // nc
+    nw = w // _CHUNK
+
+    def kernel(c0s_ref, offs_ref, lidx_ref, val_ref, xt_ref, out_ref,
+               w_ref, sems):
+        i = pl.program_id(0)
+
+        def dma(slot, blk):
+            start = pl.multiple_of(c0s_ref[blk], _CHUNK)
+            return pltpu.make_async_copy(
+                xt_ref.at[:, pl.ds(start, w_super)], w_ref.at[slot],
+                sems.at[slot])
+
+        @pl.when(i == 0)
+        def _():
+            dma(0, 0).start()
+
+        @pl.when(i + 1 < nbs)
+        def _():
+            dma((i + 1) % 2, i + 1).start()
+
+        dma(i % 2, i).wait()
+        slot = i % 2
+
+        for c in range(nc):
+            base = offs_ref[i * nc + c]
+            acc = jnp.zeros((s, _CHUNK), dtype=jnp.float32)
+            for l in range(ell_l):
+                row = lidx_ref[l, c * _CHUNK:(c + 1) * _CHUNK]
+                bidx = jnp.broadcast_to(row[None, :], (s, _CHUNK))
+                vrow = val_ref[l, c * _CHUNK:(c + 1) * _CHUNK][None, :]
+                for j in range(nw):
+                    blk = w_ref[slot, :, pl.ds(
+                        pl.multiple_of((base + j) * _CHUNK, _CHUNK),
+                        _CHUNK)]
+                    if nw == 1:
+                        g = jnp.take_along_axis(blk, bidx, axis=1)
+                        acc = acc + vrow * g
+                        continue
+                    loc = jnp.clip(bidx - j * _CHUNK, 0, _CHUNK - 1)
+                    g = jnp.take_along_axis(blk, loc, axis=1)
+                    mask = (bidx >= j * _CHUNK) & (bidx < (j + 1) * _CHUNK)
+                    acc = acc + jnp.where(mask, vrow * g, 0.0)
+            out_ref[:, c * _CHUNK:(c + 1) * _CHUNK] = \
+                acc.astype(out_ref.dtype)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nbs,),
+        in_specs=[
+            pl.BlockSpec((ell_l, nc * _CHUNK), lambda i, c0s, offs: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ell_l, nc * _CHUNK), lambda i, c0s, offs: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((s, nc * _CHUNK),
+                               lambda i, c0s, offs: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, s, w_super), xt.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((s, m_pad), xt.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * ell_l * m_pad * s,
+            bytes_accessed=(2 * ell_l * m_pad + 2 * m_pad * s)
+            * jnp.dtype(xt.dtype).itemsize,
+            transcendentals=0),
+    )(c0s, offs, lidx, values, xt)
+    return out if m_pad == m else out[:, :m]
+
+
 @functools.partial(jax.jit, static_argnames=("ell_l", "w", "m", "m_pad"))
 def _ell_spmm_t_sliced_impl(c0, sb, lidx, values, xt, ell_l: int, w: int,
                             m: int, m_pad: int):
@@ -407,6 +563,11 @@ def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
         out = _ell_spmm_t_sliced_impl(well.c0, well.sb, well.lidx,
                                       well.values, xt, ell_l, well.w, m,
                                       well.lidx.shape[1])
+    elif well.nc > 1:
+        out = _ell_spmm_t_nc_impl(well.c0s, well.offs, well.lidx,
+                                  well.values, xt, ell_l, well.w,
+                                  well.w_super, well.nc, m,
+                                  well.lidx.shape[1])
     else:
         out = _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
                                ell_l, well.w, m, well.lidx.shape[1])
@@ -422,7 +583,8 @@ _SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
 
 def window_fits_vmem(well: WindowedEll, s: int, itemsize: int = 4) -> bool:
     s_pad = -(-s // 8) * 8
-    return 2 * s_pad * well.w * itemsize <= _SCRATCH_BUDGET_BYTES
+    w_eff = max(well.w, well.w_super if well.nc > 1 else 0)
+    return 2 * s_pad * w_eff * itemsize <= _SCRATCH_BUDGET_BYTES
 
 
 def ell_spmm(ell, x: jax.Array) -> jax.Array:
