@@ -47,11 +47,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from rails_tpu.operators import LinearOperator
 from rails_tpu.parallel.mesh import ROW_AXIS
+import rails_tpu.sparse.ell_spmm as ell_spmm_mod
 from rails_tpu.sparse.ell_spmm import (
     _CHUNK,
     _W_CAP,
     WindowedEll,
     ell_spmm_t,
+    group_windows,
     window_fits_vmem,
     windowize_arrays,
 )
@@ -77,20 +79,30 @@ class HaloEll:
     halo_hi: int
     w: int
     shape: Tuple[int, int]           # global (m, m)
+    # multi-chunk grouping (uniform across shards; see
+    # sparse.ell_spmm.group_windows / _ell_spmm_t_nc_impl)
+    c0s: Optional[jax.Array] = None  # (nd * nb_loc / nc,) int32
+    offs: Optional[jax.Array] = None  # (nd * nb_loc,) int32
+    w_super: int = 0
+    nc: int = 1
 
     def astype(self, dtype) -> "HaloEll":
         if self.values.dtype == jnp.dtype(dtype):
             return self
         return HaloEll(self.c0, self.lidx, self.values.astype(dtype),
-                       self.halo_lo, self.halo_hi, self.w, self.shape)
+                       self.halo_lo, self.halo_hi, self.w, self.shape,
+                       self.c0s, self.offs, self.w_super, self.nc)
 
     def tree_flatten(self):
-        return (self.c0, self.lidx, self.values), (
-            self.halo_lo, self.halo_hi, self.w, self.shape)
+        return (self.c0, self.lidx, self.values, self.c0s, self.offs), (
+            self.halo_lo, self.halo_hi, self.w, self.shape, self.w_super,
+            self.nc)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], children[2], *aux)
+        return cls(children[0], children[1], children[2], aux[0], aux[1],
+                   aux[2], aux[3], children[3], children[4], aux[4],
+                   aux[5])
 
 
 def build_halo_ell(ell: EllMatrix, mesh: Mesh,
@@ -146,17 +158,43 @@ def build_halo_ell(ell: EllMatrix, mesh: Mesh,
     c0 = np.concatenate(c0_all)
     lidx = np.ascontiguousarray(np.concatenate(lidx_all, axis=0).T)
     vals = np.ascontiguousarray(np.concatenate(val_all, axis=0).T)
+    # multi-chunk grouping, uniform (nc, w_super) across shards so the
+    # SPMD kernel is homogeneous; per-shard group tables are stacked
+    # like c0.  Falls back to nc=1 when any shard's windows jump.
+    ext_pad = -(-ext // _CHUNK) * _CHUNK
+    nb_loc = m_loc // _CHUNK
+    c0s = offs = None
+    w_super, nc = 0, 1
+    for cand in (ell_spmm_mod._NC_DEFAULT, 2):
+        if cand <= 1 or nb_loc % cand:
+            continue
+        per = [group_windows(c0_all[r], w, cand, ext_pad) for r in
+               range(nd)]
+        ws = max(p[2] for p in per)
+        if ws > min(w + cand * _CHUNK, ext_pad):
+            continue
+        per = [group_windows(c0_all[r], w, cand, ext_pad, force_ws=ws)
+               for r in range(nd)]
+        c0s = jnp.asarray(np.concatenate([p[0] for p in per]))
+        offs = jnp.asarray(np.concatenate([p[1] for p in per]))
+        w_super, nc = ws, cand
+        break
     payload = HaloEll(jnp.asarray(c0), jnp.asarray(lidx),
-                      jnp.asarray(vals), halo_lo, halo_hi, w, (m, n))
+                      jnp.asarray(vals), halo_lo, halo_hi, w, (m, n),
+                      c0s, offs, w_super, nc)
     return _place(payload, mesh)
 
 
 def _place(p: HaloEll, mesh: Mesh) -> HaloEll:
+    row = NamedSharding(mesh, P(ROW_AXIS))
     return HaloEll(
-        jax.device_put(p.c0, NamedSharding(mesh, P(ROW_AXIS))),
+        jax.device_put(p.c0, row),
         jax.device_put(p.lidx, NamedSharding(mesh, P(None, ROW_AXIS))),
         jax.device_put(p.values, NamedSharding(mesh, P(None, ROW_AXIS))),
-        p.halo_lo, p.halo_hi, p.w, p.shape)
+        p.halo_lo, p.halo_hi, p.w, p.shape,
+        None if p.c0s is None else jax.device_put(p.c0s, row),
+        None if p.offs is None else jax.device_put(p.offs, row),
+        p.w_super, p.nc)
 
 
 def _windowed_apply_jnp(c0, lidx, values, xt_ext, w: int):
@@ -183,9 +221,11 @@ def _windowed_apply_jnp(c0, lidx, values, xt_ext, w: int):
 
 
 def _halo_ell_body(p: HaloEll, c0_loc, lidx_loc, val_loc, x_loc,
-                   nd: int, use_kernel: bool):
+                   nd: int, use_kernel: bool, c0s_loc=None,
+                   offs_loc=None):
     """Per-shard apply (inside shard_map): exchange halos, extend the
-    operand, run the windowed kernel."""
+    operand, run the windowed kernel (multi-chunk-grouped when the
+    payload carries group tables)."""
     m_loc = x_loc.shape[0]
     fwd = [(i, i + 1) for i in range(nd - 1)]
     bwd = [(i + 1, i) for i in range(nd - 1)]
@@ -200,7 +240,10 @@ def _halo_ell_body(p: HaloEll, c0_loc, lidx_loc, val_loc, x_loc,
     ext = x_ext.shape[0]
     xt = x_ext.T                      # (s, ext); both paths pad columns
     if use_kernel:                    # to the 128-aligned window space
-        well = WindowedEll(c0_loc, lidx_loc, val_loc, p.w, (m_loc, ext))
+        well = WindowedEll(c0_loc, lidx_loc, val_loc, p.w, (m_loc, ext),
+                           None, c0s_loc, offs_loc,
+                           p.w_super if c0s_loc is not None else 0,
+                           p.nc if c0s_loc is not None else 1)
         return ell_spmm_t(well, xt).T
     ext_pad = -(-ext // _CHUNK) * _CHUNK
     if ext_pad != ext:
@@ -221,6 +264,20 @@ def halo_ell_spmm(p: HaloEll, x: jax.Array, mesh: Mesh,
                       and window_fits_vmem(
                           _as_well(p), x.shape[1], x.dtype.itemsize))
     nd = mesh.devices.size
+    grouped = use_kernel and p.c0s is not None
+
+    if grouped:
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(P(ROW_AXIS), P(None, ROW_AXIS), P(None, ROW_AXIS),
+                      P(ROW_AXIS, None), P(ROW_AXIS), P(ROW_AXIS)),
+            out_specs=P(ROW_AXIS, None),
+            check_vma=False)  # pallas_call outputs carry no vma info
+        def run_g(c0_loc, lidx_loc, val_loc, x_loc, c0s_loc, offs_loc):
+            return _halo_ell_body(p, c0_loc, lidx_loc, val_loc, x_loc,
+                                  nd, use_kernel, c0s_loc, offs_loc)
+
+        return run_g(p.c0, p.lidx, p.values, x, p.c0s, p.offs)
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
@@ -237,7 +294,8 @@ def halo_ell_spmm(p: HaloEll, x: jax.Array, mesh: Mesh,
 
 def _as_well(p: HaloEll) -> WindowedEll:
     """Shape-only WindowedEll view for the VMEM-budget check."""
-    return WindowedEll(p.c0, p.lidx, p.values, p.w, p.shape)
+    return WindowedEll(p.c0, p.lidx, p.values, p.w, p.shape, None,
+                       p.c0s, p.offs, p.w_super, p.nc)
 
 
 @jax.tree_util.register_pytree_node_class

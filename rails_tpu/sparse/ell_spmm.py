@@ -67,7 +67,8 @@ _SLICE_FACTOR = 2.5   # accept sliced layout while L' <= factor * L
 DEFAULT_LAYOUT = "masked"
 
 
-def group_windows(c0: np.ndarray, w: int, nc: int, n_pad: int):
+def group_windows(c0: np.ndarray, w: int, nc: int, n_pad: int,
+                  force_ws: Optional[int] = None):
     """Group ``nc`` consecutive 128-row chunks under one super-window.
 
     Returns (c0s, offs, w_super): per-group 128-aligned DMA starts, the
@@ -86,6 +87,11 @@ def group_windows(c0: np.ndarray, w: int, nc: int, n_pad: int):
     c0s = cg.min(axis=1)
     w_super = int((cg.max(axis=1) + w - c0s).max())
     w_super = -(-w_super // _CHUNK) * _CHUNK
+    if force_ws is not None:
+        if force_ws % _CHUNK or w_super > force_ws:
+            raise ValueError(f"group span {w_super} exceeds forced "
+                             f"super-window {force_ws}")
+        w_super = force_ws
     c0s = np.minimum(c0s, max(n_pad - w_super, 0)).astype(np.int32)
     offs = ((cg - c0s[:, None]) // _CHUNK).astype(np.int32).reshape(-1)
     return c0s, offs, w_super

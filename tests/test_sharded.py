@@ -212,6 +212,27 @@ class TestHaloEll:
         x2 = np.asarray(v2) @ np.asarray(t2) @ np.asarray(v2).T
         assert np.allclose(x1, x2, atol=1e-9)
 
+    def test_grouped_kernel_path(self, rng, mesh):
+        """Per-shard multi-chunk grouping (nc>1) rides the distributed
+        kernel: the builder stacks uniform group tables, and the
+        Pallas body (interpret-forced) matches the jnp emulation."""
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.parallel.halo_ell import build_halo_ell, halo_ell_spmm
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        m = 8 * 512  # 4 chunks per shard -> nc=4 groups form
+        a = banded_unstructured(rng, m)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        p = build_halo_ell(op.fwd, mesh)
+        assert p is not None and p.nc == 4
+        assert p.c0s.shape == (m // 128 // 4,)
+        x = jax.device_put(jnp.asarray(rng.uniform(-1, 1, (m, 3)),
+                                       jnp.float32), row_sharding(mesh))
+        y_ref = halo_ell_spmm(p, x, mesh, use_kernel=False)
+        with pltpu.force_tpu_interpret_mode():
+            y = halo_ell_spmm(p, x, mesh, use_kernel=True)
+        assert np.allclose(np.asarray(y), np.asarray(y_ref), atol=1e-4)
+        assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-3)
+
     def test_hyb_halo(self, rng, mesh):
         """HYB payload: dense diagonals through the DIA halo path, the
         stray couplings through the windowed-ELL halo path."""
