@@ -161,9 +161,18 @@ def phase_spmm(impl: str) -> None:
         v = vt.T
         wrap_fn = jax.jit(lambda x: dia_spmm(dia, x))
         float(total_fn(wrap_fn(v)))
-        dt_wrap = _chain_time(wrap_fn, v, total_fn, lo, hi, repeats=6)
-        out["spmm_wrapped_nnz_per_s"] = nnz / dt_wrap
-        out["spmm_wrapper_overhead"] = dt_wrap / dt
+        # alternate raw/wrapped chains and take the median ratio: the
+        # two paths drift together under tunnel/clock noise, so paired
+        # sampling cancels it (independent min-of-N gave 1.35 / 0.94 /
+        # 0.80 across three r03 runs for the same binary)
+        import statistics
+        ratios = []
+        for _ in range(5):
+            d_raw = _chain_time(apply_fn, vt, total_fn, lo, hi, repeats=1)
+            d_wrap = _chain_time(wrap_fn, v, total_fn, lo, hi, repeats=1)
+            ratios.append(d_wrap / d_raw)
+        out["spmm_wrapped_nnz_per_s"] = nnz / (dt * statistics.median(ratios))
+        out["spmm_wrapper_overhead"] = statistics.median(ratios)
     print(json.dumps(out))
 
 
@@ -354,15 +363,22 @@ def phase_solve() -> None:
         return time.perf_counter() - t0, info
 
     print("solve: compiling + first run...", file=sys.stderr, flush=True)
-    warm, _ = run()
-    print("solve: steady state...", file=sys.stderr, flush=True)
-    wall, info = run()
-    print(json.dumps({
-        "solve_n": n, "solve_wall_s": wall, "solve_compile_wall_s": warm,
+    warm, info = run()
+    # partial line first: a phase timeout during the steady-state rerun
+    # must not erase the converged first run (tunnel slow spells took
+    # this phase past its cap once in r03)
+    out = {
+        "solve_n": n, "solve_compile_wall_s": warm,
         "solve_iters": info.iter, "solve_converged": bool(info.converged),
         "solve_res": info.res, "solve_maxit": 200,
         "solve_iter_margin": (200 - info.iter) / 200,
-    }))
+    }
+    print(json.dumps(out), flush=True)
+    print("solve: steady state...", file=sys.stderr, flush=True)
+    wall, info = run()
+    out.update({"solve_wall_s": wall, "solve_iters": info.iter,
+                "solve_res": info.res})
+    print(json.dumps(out))
 
 
 def phase_accuracy() -> None:
@@ -427,6 +443,14 @@ def phase_accuracy() -> None:
         compiled=True)
     wall_single = time.perf_counter() - t0
     single_true = true_rel(v1, t1)
+    # partial line: keep the f32 floor on record even if the refined
+    # stage runs past the phase cap
+    print(json.dumps({
+        "acc_n": n, "acc_tol": 1e-8,
+        "acc_single_res_est": float(info1.res),
+        "acc_single_res_true": single_true,
+        "acc_single_wall_s": wall_single,
+    }), flush=True)
     print("accuracy: refined solve...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
     # compensated reductions keep the residual estimator honest at this
@@ -536,6 +560,7 @@ def mesh_scaling_bench():
         lo, hi = (10, 60) if on_tpu else (2, 10)
         dt = _chain_time(fn, v, total, lo, hi)
         results["per_devices"][str(nd_i)] = nnz / dt
+        print(json.dumps(results), flush=True)  # survive a phase cap
     base = results["per_devices"].get("1")
     if base:
         plain = jax.jit(lambda x: dia_spmm(dia, x))
@@ -656,7 +681,11 @@ def main():
     if spmm is None:
         run("spmm_xla", ["--phase", "spmm", "--impl", "xla"], 300)
     run("accuracy", ["--phase", "accuracy"], 480)
-    run("ell", ["--phase", "ell"], 480,
+    # ell cap 600: the phase holds three compiles (kernel, gather probe,
+    # XLA take path), the 16.8M-nnz host build, and the MOC end-to-end
+    # solve; it ran 240-480s across r03 tunnels and once hit the old
+    # 480s cap (partial results still landed via incremental emit)
+    run("ell", ["--phase", "ell"], 600,
         merge=lambda r: out.update(
             {k: v for k, v in r.items() if k != "device"}))
 

@@ -236,6 +236,12 @@ def lyap(
       e: optional (k, k) nonsingular matrix (generalized equation).
       method: 'schur' (general A), 'eigh' (symmetric A), 'sign'
         (Hurwitz A), or 'kron' (small-k robust fallback / oracle).
+        TPU cost at k=120 f32 (v5e, measured round 3): eigh ~0.3 ms,
+        sign ~0.4 ms, schur ~176 ms - the QR-iteration Schur is
+        while_loop-serial and latency-bound on TPU, so tag operators
+        (is_symmetric / is_hurwitz) or set projected_solver explicitly
+        for per-iteration solves; 'schur' is the accuracy anchor and
+        the general-pencil fallback, not the hot path.
       assume_e_spd: use the symmetry-preserving congruence for E
         (enables the eigh path for symmetric pencils).
     """
