@@ -10,6 +10,14 @@ to exactly-once while the compute body stays byte-for-byte v2.
 
 Expected if local copies are free: 0.576 ms -> ~0.52 ms (678 GB/s
 actual-byte rate held, 12% fewer bytes).
+
+MEASURED CONCLUSION (round 3, v5e): v2 19.72 Gnnz/s, v4 20.14 Gnnz/s
+(err 0.0) - 1.02x, not the 1.12x the byte count promises.  Same verdict
+as the v3 exactly-once schedule (spmm.py docstring): the kernel is not
+HBM-byte-limited at this geometry; the residual cost is DMA
+issue/latency, which the overlap copy does not remove.  v2 stays the
+shipped kernel; v4 is recorded here as evidence that the remaining
+~10% vs the stream ceiling is not reachable by re-read elimination.
 """
 import functools
 import sys
