@@ -71,9 +71,13 @@ def _jax_setup():
 
 
 def _chain_time(fn, x0, total_fn, lo, hi, repeats=3):
-    """min-of-repeats differenced chain timing (chain closes with a
-    data-dependent readback; differencing removes fixed overhead, the
-    min removes interference noise)."""
+    """Differenced chain timing (chain closes with a data-dependent
+    readback; differencing removes fixed overhead).  Each chain length
+    is min'd over repeats SEPARATELY, then differenced: min-of-
+    differences is biased low whenever noise inflates a d_lo sample
+    (one tunnel stall made a 6-repeat run report 1.5x the roofline),
+    while the min of each length independently strips stalls from both
+    before the subtraction."""
     def chain(reps):
         y = x0
         t0 = time.perf_counter()
@@ -83,13 +87,11 @@ def _chain_time(fn, x0, total_fn, lo, hi, repeats=3):
         return time.perf_counter() - t0
 
     chain(lo)  # warm
-    best = None
+    d_los, d_his = [], []
     for _ in range(repeats):
-        d_lo = chain(lo)
-        d_hi = chain(hi)
-        dt = max(d_hi - d_lo, 1e-9) / (hi - lo)
-        best = dt if best is None else min(best, dt)
-    return best
+        d_los.append(chain(lo))
+        d_his.append(chain(hi))
+    return max(min(d_his) - min(d_los), 1e-9) / (hi - lo)
 
 
 def phase_spmm(impl: str) -> None:
@@ -144,6 +146,10 @@ def phase_spmm(impl: str) -> None:
     kernel_gbs = bytes_ideal / dt / 1e9
     out = {
         "value": nnz / dt, "vs_baseline": (nnz / dt) / roofline,
+        # no kernel can beat the HBM roofline: a ratio past it means the
+        # differenced timing was corrupted by a tunnel stall - flag it
+        # rather than publish an impossible headline
+        "timing_suspect": bool((nnz / dt) > 1.05 * roofline),
         "spmm_rows": m, "spmm_cols": s, "spmm_ms": dt * 1e3,
         "spmm_impl": impl, "spmm_layout": "transposed (s, m)",
         "roofline_nnz_per_s": roofline,

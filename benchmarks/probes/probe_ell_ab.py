@@ -18,6 +18,9 @@ from rails_tpu.sparse.ell_spmm import ell_spmm_t, ell_windowize
 
 
 def chain_time(fn, x0, lo=10, hi=40, repeats=3):
+    # min each chain length separately, then difference (min-of-
+    # differences is biased low under dispatch stalls - see bench.py
+    # _chain_time)
     total = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
 
     def chain(reps):
@@ -29,11 +32,9 @@ def chain_time(fn, x0, lo=10, hi=40, repeats=3):
         return time.perf_counter() - t0
 
     chain(lo)
-    best = None
-    for _ in range(repeats):
-        dt = (chain(hi) - chain(lo)) / (hi - lo)
-        best = dt if best is None else min(best, dt)
-    return max(best, 1e-9)
+    d_los = [chain(lo) for _ in range(repeats)]
+    d_his = [chain(hi) for _ in range(repeats)]
+    return max(min(d_his) - min(d_los), 1e-9) / (hi - lo)
 
 
 def build(m, ell_l, band, dtype):
