@@ -413,7 +413,12 @@ def phase_accuracy() -> None:
     lo = q(0.4 * rng.uniform(-1, 1, n - 1))
     a_sp = sp.diags([lo, main, up], [-1, 0, 1]).tocsr()
     b32 = np.asarray(rng.uniform(-1, 1, (n, 4)), np.float32)
-    aop = sparse_from_scipy(a_sp, fmt="dia", dtype=dtype)
+    # is_hurwitz: diagonally dominant negative by construction -> the
+    # projected solve takes the sign path (~0.4 ms) instead of the
+    # TPU-serial QR-iteration Schur fallback, which at this phase's
+    # capacity (kb ~ 420) cost ~0.7 s EVERY iteration and made the
+    # single f32 solve run 300-457 s (see dense_lyap.lyap docstring)
+    aop = sparse_from_scipy(a_sp, fmt="dia", dtype=dtype, is_hurwitz=True)
 
     def true_rel(v, t):
         """||A X + X A' + B B'||_2 / ||B'B||_2 in f64 on the host via

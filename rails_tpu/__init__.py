@@ -25,6 +25,7 @@ from rails_tpu.operators import (  # noqa: F401
 from rails_tpu.core.options import (  # noqa: F401
     InvalidOption,
     InverseNotUsedWarning,
+    ProjectedSolverPerformanceWarning,
     ProjectionMethodWarning,
     SingularMassMatrixWarning,
     SolverOptions,

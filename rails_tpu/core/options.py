@@ -28,6 +28,15 @@ class SingularMassMatrixWarning(UserWarning):
     """Mirrors MATLAB warning id 'RAILSsolver:SingularMassMatrix'."""
 
 
+class ProjectedSolverPerformanceWarning(UserWarning):
+    """The projected dense solve will run the QR-iteration Schur
+    fallback on TPU (untagged general A at capacity > 128) - orders of
+    magnitude slower per iteration than the eigh/sign paths the
+    operator tags unlock.  No reference analogue (SLICOT sb03md is
+    CPU-cheap); this is a TPU-specific cost model the user should know
+    about."""
+
+
 class ProjectionMethodWarning(UserWarning):
     """Mirrors MATLAB warning id 'RAILSsolver:ProjectionMethod' (emitted
     on non-convergence at maxit with projection_method == 1,

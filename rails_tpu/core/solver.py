@@ -46,7 +46,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rails_tpu.core.options import (
-    InvalidOption, InverseNotUsedWarning, ProjectionMethodWarning,
+    InvalidOption, InverseNotUsedWarning,
+    ProjectedSolverPerformanceWarning, ProjectionMethodWarning,
     SingularMassMatrixWarning, SolverOptions)
 from rails_tpu.linalg import dense_lyap
 from rails_tpu.operators import (
@@ -297,6 +298,16 @@ class LyapunovSolver:
                 from rails_tpu.parallel.sharded import shard_state
                 state = shard_state(state, self.mesh)
         cap_kb, s_slot = static["cap_kb"], static["s_slot"]
+        if (static["lyap_method"] == "schur" and cap_kb > 128
+                and jax.default_backend() == "tpu"):
+            warnings.warn(
+                "the projected dense solves will use the QR-iteration "
+                "Schur fallback (general untagged A), which is "
+                f"while_loop-serial on TPU (~0.2-0.7 s per iteration at "
+                f"capacity {cap_kb}); tag the operator (is_symmetric / "
+                "is_hurwitz) or set projected_solver='sign' if A is "
+                "stable - see linalg.dense_lyap.lyap",
+                ProjectedSolverPerformanceWarning)
 
         ops = self._ops_tuple()
 
