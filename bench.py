@@ -132,6 +132,17 @@ def phase_spmm(impl: str) -> None:
     # the stream ceiling and wrapper-overhead ratios stable run to run
     # (r03 observed 636 vs 713 GB/s stream across two 3-repeat runs)
     dt = _chain_time(apply_fn, vt, total_fn, lo, hi, repeats=6)
+    nnz0 = len(offsets) * m
+    roof0 = nnz0 * bw / ((len(offsets) * m + 2 * m * s)
+                         * jnp.dtype(dtype).itemsize)
+    # partial line before the stream/wrapper measurements: a wedged
+    # tunnel mid-phase must not erase the headline kernel number
+    print(json.dumps({
+        "value": nnz0 / dt, "vs_baseline": (nnz0 / dt) / roof0,
+        "timing_suspect": bool((nnz0 / dt) > 1.05 * roof0),
+        "spmm_rows": m, "spmm_cols": s, "spmm_ms": dt * 1e3,
+        "spmm_impl": impl, "device": dev_kind,
+    }), flush=True)
 
     # measured stream ceiling: XLA elementwise over the same array
     stream_fn = jax.jit(lambda x: x * 0.999)
