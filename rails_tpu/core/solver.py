@@ -285,8 +285,13 @@ class LyapunovSolver:
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
-    def solve(self, compiled: bool = False):
-        """Run the iteration.  Returns (V, T, SolveInfo)."""
+    def solve(self, compiled: bool = False, progress=None):
+        """Run the iteration.  Returns (V, T, SolveInfo).
+
+        ``progress``: optional callable ``(iter, wall_s, res)`` invoked at
+        every chunk sync of the compiled path (every ``timevec_chunk``
+        iterations) - lets long runs surface heartbeats (bench.py
+        phase_accuracy) without extra device syncs."""
         opt = self.options
         m = self.A.shape[0]
         dtype = jnp.dtype(opt.dtype) if opt.dtype is not None \
@@ -298,7 +303,11 @@ class LyapunovSolver:
                 from rails_tpu.parallel.sharded import shard_state
                 state = shard_state(state, self.mesh)
         cap_kb, s_slot = static["cap_kb"], static["s_slot"]
+        # only nag when the schur fallback was picked by 'auto': a user
+        # who explicitly set projected_solver='schur' opted in (ADVICE
+        # r03) and should not be told to change settings on every solve
         if (static["lyap_method"] == "schur" and cap_kb > 128
+                and opt.projected_solver == "auto"
                 and jax.default_backend() == "tpu"):
             warnings.warn(
                 "the projected dense solves will use the QR-iteration "
@@ -377,6 +386,9 @@ class LyapunovSolver:
                         state = engine(ops, state, jnp.int32(tgt))
                         it_now = int(state.iter)  # sync point
                         marks.append((it_now, time.perf_counter() - t0))
+                        if progress is not None:
+                            progress(it_now, marks[-1][1],
+                                     float(state.res))
                         if bool(state.done):
                             break
             n_it = int(state.iter)
@@ -1151,7 +1163,7 @@ def _host_orthonormalize(w, nullspace, m_op, drop_tol):
 
 
 def solve(a, b, m=None, maxit=None, tol=None, options=None, compiled=False,
-          **opt_kwargs):
+          progress=None, **opt_kwargs):
     """Functional front-end mirroring MATLAB
     ``[V,T,res,iter,resvec,timevec,restart_data] = RAILSsolver(A,M,B,...)``
     with the argument order (A, B, M) of the C++ Solver ctor.
@@ -1165,4 +1177,4 @@ def solve(a, b, m=None, maxit=None, tol=None, options=None, compiled=False,
             opt_kwargs["tol"] = tol
         options = SolverOptions(**opt_kwargs)
     solver = LyapunovSolver(a, b, m, options)
-    return solver.solve(compiled=compiled)
+    return solver.solve(compiled=compiled, progress=progress)

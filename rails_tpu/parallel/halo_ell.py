@@ -262,9 +262,14 @@ def halo_ell_spmm(p: HaloEll, x: jax.Array, mesh: Mesh,
         use_kernel = (jax.default_backend() == "tpu"
                       and x.dtype == jnp.float32
                       and window_fits_vmem(
-                          _as_well(p), x.shape[1], x.dtype.itemsize))
+                          _as_well(p), x.shape[1], x.dtype.itemsize,
+                          nc1=True))
     nd = mesh.devices.size
-    grouped = use_kernel and p.c0s is not None
+    # degrade to the ungrouped kernel when only the super-window scratch
+    # overflows the VMEM budget at this s (ADVICE r03)
+    grouped = (use_kernel and p.c0s is not None
+               and window_fits_vmem(_as_well(p), x.shape[1],
+                                    x.dtype.itemsize))
 
     if grouped:
         @functools.partial(

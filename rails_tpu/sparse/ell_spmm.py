@@ -34,8 +34,10 @@ sliced single-gather layout times the SAME 2.4 Gnnz/s and pl.when slot
 predication HALVES it - the gap is per-grid-step overhead, not
 per-gather work.  The shipped kernel therefore groups _NC_DEFAULT=4
 chunks per grid step under one super-window DMA
-(_ell_spmm_t_nc_impl): 4.16 Gnnz/s = 0.97 of the gather-issue ceiling,
-1.70x the single-chunk kernel, ~135x the XLA take path.  The sliced
+(_ell_spmm_t_nc_impl): 4.17 Gnnz/s = 0.979 of the gather-issue ceiling,
+1.70x the single-chunk kernel, 136x the XLA take path (all from
+benchmarks/BENCH_r03_tpu_prerun.json, the artifact PARITY.md and
+README.md cite).  The sliced
 layout (one gather/slot, 3x ceiling) stays available but non-default:
 its (nb, L') sub-block table must live in SMEM, which caps out near
 nb=2048 chunks (2-D) / ~200KB (flattened) on this toolchain - too
@@ -569,12 +571,16 @@ def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
         out = _ell_spmm_t_sliced_impl(well.c0, well.sb, well.lidx,
                                       well.values, xt, ell_l, well.w, m,
                                       well.lidx.shape[1])
-    elif well.nc > 1:
+    elif well.nc > 1 and window_fits_vmem(well, s):
         out = _ell_spmm_t_nc_impl(well.c0s, well.offs, well.lidx,
                                   well.values, xt, ell_l, well.w,
                                   well.w_super, well.nc, m,
                                   well.lidx.shape[1])
     else:
+        # also the degrade path for grouped payloads whose super-window
+        # scratch exceeds the VMEM budget at this s while the single
+        # window still fits (ADVICE r03): run nc=1 off the retained
+        # per-chunk c0 instead of losing the kernel entirely
         out = _ell_spmm_t_impl(well.c0, well.lidx, well.values, xt,
                                ell_l, well.w, m, well.lidx.shape[1])
     return out if s_pad == s else out[:s]
@@ -587,9 +593,14 @@ def ell_spmm_t(well: WindowedEll, xt: jax.Array) -> jax.Array:
 _SCRATCH_BUDGET_BYTES = 8 * 1024 * 1024
 
 
-def window_fits_vmem(well: WindowedEll, s: int, itemsize: int = 4) -> bool:
+def window_fits_vmem(well: WindowedEll, s: int, itemsize: int = 4,
+                     nc1: bool = False) -> bool:
+    """Does the double-buffered window scratch fit the VMEM budget?
+    ``nc1=True`` checks the single-chunk (w-wide) scratch only - the
+    degrade target when the grouped super-window is what overflows."""
     s_pad = -(-s // 8) * 8
-    w_eff = max(well.w, well.w_super if well.nc > 1 else 0)
+    w_eff = well.w if nc1 else max(well.w,
+                                   well.w_super if well.nc > 1 else 0)
     return 2 * s_pad * w_eff * itemsize <= _SCRATCH_BUDGET_BYTES
 
 
@@ -601,6 +612,10 @@ def ell_spmm(ell, x: jax.Array) -> jax.Array:
             and jax.default_backend() == "tpu"
             and x.dtype == jnp.float32
             and x.ndim == 2
-            and window_fits_vmem(well, x.shape[1], x.dtype.itemsize)):
+            and window_fits_vmem(well, x.shape[1], x.dtype.itemsize,
+                                 nc1=True)):
+        # nc1=True: qualification needs only the single-chunk window to
+        # fit - ell_spmm_t degrades grouped payloads to the nc=1 kernel
+        # when the super-window alone overflows (ADVICE r03)
         return ell_spmm_t(well, x.T).T
     return ell.matmat(x)

