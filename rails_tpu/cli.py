@@ -3,7 +3,7 @@ re-imagined for single-controller JAX.
 
 Usage:
     python -m rails_tpu.cli [--params params.xml|json] [--platform cpu|tpu]
-                            [--only-eigenvalues] [directory]
+                            [--only-eigenvalues] [--distributed] [directory]
 
 Reads A.mtx / B.mtx / M.mtx from the directory (main.cpp:62-72), builds
 the Schur reduction for the singular mass matrix (main.cpp:78-88), solves
@@ -12,6 +12,18 @@ the Lyapunov equation (main.cpp:118), checkpoints V.mtx / T.mtx
 computes the dominant eigenpairs of the full-space solution operator and
 the trace-normalized spectrum table (main.cpp:140-170), and dumps the
 profiler (main.cpp:172-173).
+
+``--distributed`` is the multi-process production posture of the
+reference's MPI driver (mpirun + Epetra maps, main.cpp:43-50): one
+process per host, ``jax.distributed`` wiring the global device view
+(parallel/multihost.py).  Every process parses the MatrixMarket files
+(the replicated-host-work pattern of the reference's redundant k x k
+compute); the solver state and operator payloads are placed row-sharded
+over the global mesh, B through per-process row slabs
+(``make_global_array``).  Covers nonsingular-M problems; a singular M
+(Schur path) needs the gather-to-serial A11 factorization, which is
+single-controller - run those without --distributed (the reference has
+the same serial bottleneck in Amesos/KLU, SchurOperator.cpp:177-186).
 """
 
 from __future__ import annotations
@@ -41,6 +53,21 @@ def main(argv=None) -> int:
                     help="symmetric bandwidth-reduction reordering before "
                          "the solve (DIA-kernel friendly; deterministic, "
                          "so --only-eigenvalues reloads stay consistent)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-process SPMD run (one process per host); "
+                         "see module docstring")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address host:port (--distributed; "
+                         "default $RAILS_COORDINATOR)")
+    ap.add_argument("--num-processes", type=int, default=None,
+                    help="process count (--distributed; default "
+                         "$RAILS_NUM_PROCESSES)")
+    ap.add_argument("--process-id", type=int, default=None,
+                    help="this process's id (--distributed; default "
+                         "$RAILS_PROCESS_ID)")
+    ap.add_argument("--fmt", choices=["dia", "ell", "hyb"], default="ell",
+                    help="sparse operator format for the direct "
+                         "(non-Schur) distributed path")
     args = ap.parse_args(argv)
 
     import jax
@@ -49,6 +76,17 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", args.platform)
     if args.x64:
         jax.config.update("jax_enable_x64", True)
+
+    mesh = None
+    if args.distributed:
+        from rails_tpu.parallel import multihost
+        from rails_tpu.parallel.mesh import make_mesh
+
+        multihost.initialize(args.coordinator, args.num_processes,
+                             args.process_id)
+        mesh = make_mesh()
+        print(f"Distributed run: {jax.process_count()} processes, "
+              f"{len(jax.devices())} global devices")
 
     import jax.numpy as jnp
     import numpy as np
@@ -88,9 +126,31 @@ def main(argv=None) -> int:
         a, m, b = permute_system(a, m, b, perm)
         print(f"RCM reordering: bandwidth {bw0} -> {bandwidth(a)}")
 
-    print("Computing Schur complement")
-    with timer("Driver", "schur"):
-        red = schur_reduce(a, m, b)
+    red = None
+    if mesh is not None:
+        # direct (non-Schur) distributed path: requires nonsingular M
+        import scipy.sparse as sp_sparse
+
+        from rails_tpu.sparse.formats import sparse_from_scipy
+
+        mdiag = (np.asarray(m.diagonal()).ravel()
+                 if sp_sparse.issparse(m) else np.diag(np.asarray(m)))
+        if np.any(np.abs(mdiag) < 1e-12):
+            raise SystemExit(
+                "--distributed requires a nonsingular M (the Schur "
+                "path's A11 factorization is gather-to-serial; run "
+                "singular-M problems without --distributed)")
+        aop = sparse_from_scipy(sp_sparse.csr_matrix(a), fmt=args.fmt)
+        msop = rails_tpu.DiagonalOperator(
+            jnp.asarray(mdiag), is_spd=bool(np.all(mdiag > 0)))
+        bs = np.asarray(b.todense()) if sp_sparse.issparse(b) \
+            else np.asarray(b)
+        if bs.ndim == 1:
+            bs = bs[:, None]
+    else:
+        print("Computing Schur complement")
+        with timer("Driver", "schur"):
+            red = schur_reduce(a, m, b)
 
     overrides = {}
     if args.tol is not None:
@@ -102,22 +162,48 @@ def main(argv=None) -> int:
 
     v_path = os.path.join(d, "V.mtx")
     t_path = os.path.join(d, "T.mtx")
+    proc0 = jax.process_index() == 0
     if not args.only_eigenvalues:
         print("Creating solver")
-        solver = rails_tpu.LyapunovSolver(
-            red.operator, jnp.asarray(red.bs), red.ms, options=opts)
+        if mesh is not None:
+            from rails_tpu.parallel import multihost
+
+            # per-process row-slab placement of B (the Epetra distributed
+            # MatrixMarket-load pattern, /root/reference/src/main.cpp:66-68):
+            # each process contributes only its slab of rows
+            nproc = jax.process_count()
+            rows = bs.shape[0]
+            if nproc > 1 and rows % nproc == 0:
+                slab = rows // nproc
+                pid = jax.process_index()
+                b_arr = multihost.make_global_array(
+                    jnp.asarray(bs[pid * slab:(pid + 1) * slab]), mesh)
+            else:
+                b_arr = jnp.asarray(bs)
+            solver = rails_tpu.LyapunovSolver(
+                aop, b_arr, msop, options=opts, mesh=mesh)
+        else:
+            solver = rails_tpu.LyapunovSolver(
+                red.operator, jnp.asarray(red.bs), red.ms, options=opts)
         print("Performing solve")
-        print(f"Amount of matrix-vector products before the solve: "
-              f"{red.mvps}")
+        if red is not None:
+            print(f"Amount of matrix-vector products before the solve: "
+                  f"{red.mvps}")
         v, t, info = solver.solve()
         print(f"Amount of matrix-vector products after the solve: "
               f"{info.mvps}")
         outcome = "converged" if info.converged else "did not converge"
         print(f"Solver {outcome} in {info.iter} iterations, "
               f"relative residual {info.res:.3e}, space size {v.shape[1]}")
+        if mesh is not None and jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            v = jnp.asarray(
+                multihost_utils.process_allgather(v, tiled=True))
         with timer("Driver", "checkpoint"):
-            rio.write_matrix_market(v_path, np.asarray(v))
-            rio.write_matrix_market(t_path, np.asarray(t))
+            if proc0:  # rank-0 write, like the reference's profile dump
+                rio.write_matrix_market(v_path, np.asarray(v))
+                rio.write_matrix_market(t_path, np.asarray(t))
     else:
         print("Reloading V.mtx / T.mtx")
         v = jnp.asarray(rio.read_matrix_market(v_path))
@@ -129,7 +215,18 @@ def main(argv=None) -> int:
 
     print("Computing eigenvalues of the solution operator")
     with timer("Driver", "eigenvalues"):
-        sop = red.solution_operator(v, t)
+        if red is None:
+            # direct path: X = V T V', applied factored (replicated
+            # small compute on every process, the reference's k x k
+            # pattern); V gathered to host above
+            from rails_tpu.operators import CallableOperator
+
+            v_h, t_h = jnp.asarray(v), jnp.asarray(t)
+            sop = CallableOperator(
+                lambda x: v_h @ (t_h @ (v_h.T @ x)),
+                (v_h.shape[0], v_h.shape[0]), is_symmetric=True)
+        else:
+            sop = red.solution_operator(v, t)
         # Anasazi BlockKrylovSchurSolMgr parameter names pass through
         # (the reference forwards the whole "Eigenvalue Solver" sublist,
         # /root/reference/src/Epetra_OperatorWrapper.cpp:163-186)
@@ -143,13 +240,16 @@ def main(argv=None) -> int:
             subspace=None if nblocks is None else bsz * int(nblocks))
 
     with timer("Driver", "trace"):
-        trace = float(red.trace(v, t))
+        # direct path: tr(V T V') = tr(T) for orthonormal V
+        trace = float(jnp.trace(t)) if red is None else float(
+            red.trace(v, t))
 
     print(f"{'eigenvalue':>20}{'eigenvalue/trace':>20}")
     for lam in np.asarray(evals):
         print(f"{lam:>20.12g}{lam / trace:>20.12g}")
 
-    save_profiles()
+    if proc0:  # rank-0 only, /root/reference/src/main.cpp:172-173
+        save_profiles()
     return 0
 
 

@@ -231,7 +231,14 @@ class SchurReduction:
     @property
     def operator(self) -> LinearOperator:
         """S = A22 - A21 A11^{-1} A12, matrix-free
-        (SchurOperator::Apply pre-solution, SchurOperator.cpp:201-233)."""
+        (SchurOperator::Apply pre-solution, SchurOperator.cpp:201-233).
+        With an empty singular part (nonsingular M: n1 = 0) the
+        correction term vanishes and S = A22 = A."""
+        if self.n1 == 0:
+            return CallableOperator(
+                self.A22.matmat, (self.n2, self.n2),
+                rfn=self.A22.rmatmat, is_hurwitz=self.hurwitz)
+
         def apply(x):
             return self.A22.matmat(x) - self.A21.matmat(
                 self.a11_solve(self.A12.matmat(x)))
@@ -338,6 +345,11 @@ class SchurReduction:
         def x22(x2):
             return v @ (t @ (v.T @ x2))
 
+        if self.n1 == 0:
+            # nonsingular M: the full space IS the reduced space
+            return CallableOperator(x22, (self.n, self.n),
+                                    is_symmetric=True)
+
         def apply(x):
             x = jnp.asarray(x)
             x1 = x[idx1]
@@ -358,6 +370,8 @@ class SchurReduction:
         (SchurOperator::Trace, SchurOperator.cpp:298-342)."""
         v = jnp.asarray(v, dtype=self.dtype)
         t = jnp.asarray(t, dtype=self.dtype)
+        if self.n1 == 0:  # nonsingular M: tr(X_full) = tr(T)
+            return jnp.trace(t)
         w = self.a11_solve(self.A12.matmat(v))
         g = v.T @ self.A12.rmatmat(self.a11_solve_t(w))
         return jnp.trace(t) + jnp.trace(t @ g)
