@@ -506,7 +506,7 @@ def phase_accuracy() -> None:
     # the EFT kernels and are ~free on the HBM-bound skinny ops
     v2, t2, info2 = rails_tpu.solve_refined(
         aop, jnp.asarray(b32), tol=1e-8, dtype=dtype, maxit=100, expand=4,
-        precision="compensated", compiled=True)
+        precision="compensated", compiled=True, progress=heartbeat)
     wall_refined = time.perf_counter() - t0
     refined_true = true_rel(v2, t2)
     print(json.dumps({

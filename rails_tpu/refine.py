@@ -216,6 +216,7 @@ def residual_factor(A: LinearOperator, M: Optional[LinearOperator],
 def solve_refined(a, b, m=None, *, tol: float = 1e-8,
                   stage_tol: float = 1e-5, max_stages: int = 3,
                   drop_rel: float = 1e-9, compiled: bool = False,
+                  progress=None,
                   options: Optional[SolverOptions] = None, **opt_kwargs):
     """Solve A X M' + M X A' + B B' = 0 to ``tol`` relative residual via
     staged defect correction (see module docstring).
@@ -255,7 +256,8 @@ def solve_refined(a, b, m=None, *, tol: float = 1e-8,
         stage_tol_i = max(stage_tol, min(want, 0.5))
         solver = LyapunovSolver(A, cur_b, Mop, b_sign=cur_sign,
                                 tol=stage_tol_i, **base)
-        v_i, t_i, info = solver.solve(compiled=compiled)
+        v_i, t_i, info = solver.solve(compiled=compiled,
+                                      progress=progress)
         stages.append(info)
         vs.append(v_i)
         ts.append(t_i)
