@@ -159,8 +159,12 @@ def main():
     vj_t = jnp.asarray(np.ascontiguousarray(vj.T))
     c0s_j, offs_j = jnp.asarray(c0s), jnp.asarray(offs)
     try:
-        fn = jax.jit(lambda x: minops_nc(
-            c0s_j, offs_j, lj_t, vj_t, x, terms, w, w_super, nc, m))
+        # payloads as jit ARGUMENTS, never closure constants (the
+        # CLAUDE.md HTTP-413 gotcha - embedded 400 MB constants exceed
+        # the remote-compile body limit)
+        fn2 = jax.jit(lambda lj_a, vj_a, x: minops_nc(
+            c0s_j, offs_j, lj_a, vj_a, x, terms, w, w_super, nc, m))
+        fn = lambda x: fn2(lj_t, vj_t, x)
         y = np.asarray(fn(xt))
         err = np.abs(y - ref).max() / np.abs(ref).max()
         dt = chain_time(fn, xt)

@@ -37,11 +37,42 @@ chunks per grid step under one super-window DMA
 (_ell_spmm_t_nc_impl): 4.17 Gnnz/s = 0.979 of the gather-issue ceiling,
 1.70x the single-chunk kernel, 136x the XLA take path (all from
 benchmarks/BENCH_r03_tpu_prerun.json, the artifact PARITY.md and
-README.md cite).  The sliced
-layout (one gather/slot, 3x ceiling) stays available but non-default:
-its (nb, L') sub-block table must live in SMEM, which caps out near
-nb=2048 chunks (2-D) / ~200KB (flattened) on this toolchain - too
-small for production row counts.
+README.md cite).
+
+Round-4 verdict: this is the HARDWARE OPTIMUM for the operating point
+(s=16, f32, per-row spans <= 2*band+1).  Every route past the gather
+ceiling was probed on the live chip and measured dead
+(probe_w256.py, probe_multiacc.py, probe_ell_minops.py):
+
+1. sliced layout (1 gather/slot): the blocker is NOT the SMEM table
+   previously documented - ``_slice_layout`` at the bench geometry pads
+   to L' = 23 slots (per-chunk slot count = sum over sub-blocks of the
+   max per-row count over 128 rows; some row concentrates ~all L
+   entries in each block), so its ceiling is 3L/L' = 1.04x masked.
+2. narrower windows (w 384 -> 256, 2 gathers/slot): every row touches
+   <= 2 sub-blocks, so the third gather exists only because DMA starts
+   are 128-floored - but Mosaic REJECTS non-128-aligned lane starts in
+   ``make_async_copy`` (compile failure at starts 64/192/100).
+3. MXU one-hot (out = x_win @ P with P (w,128) the scattered values):
+   streams P at 710 GB/s = full measured HBM rate, but P costs
+   w/2 = 192 bytes/nnz at L=8 (3.7 Gnnz/s standalone), and f32
+   accuracy needs a 3xbf16 decomposition whose (16,w)@(w,128) matmuls
+   leave the 128x128 MXU 8x row-starved at s=16 (~1 Gnnz/s effective;
+   single bf16 pass measured err 3e-3 - unusable in the solver).
+4. multiple accumulators: 1/2/4/8 independent accumulator chains all
+   time 94-98M composite gathers/s - the kernel is NOT add-latency-
+   bound.
+5. minimal-op inner loop (per-sub-block clipped indices and mask-
+   folded values precomputed host-side; gather+mul+add only, 6 vreg
+   ops/term vs ~16): 4.17 vs 4.12 Gnnz/s = 1.01x - NOT VPU-issue-
+   bound either.
+
+The limit is the tpu.dynamic_gather issue rate itself (~4.8
+cycles/vreg, 2 vregs per (16,128) composite).  Past it the problem
+must change: larger s (MXU route wins at s >= 64), relaxed precision,
+or denser rows (gather ceiling is L-independent, so DIA/HYB formats
+win when structure allows - which the format auto-selection already
+exploits).
 """
 
 from __future__ import annotations
