@@ -58,3 +58,20 @@ class ContinuationSolver:
         self._prev_space = np.asarray(v)
         self.history.append(info)
         return v, t, info
+
+    def save(self, path: str) -> None:
+        """Persist the continuation state (the last converged subspace)
+        so a later process can resume the sequence - the on-disk form
+        of MATLAB's in-memory restart_data (RAILSsolver.m:174-197)."""
+        if self._prev_space is None:
+            raise ValueError("no step has completed; nothing to save")
+        from rails_tpu.io import save_restart_data
+
+        save_restart_data(path, {"V": self._prev_space})
+
+    def load(self, path: str) -> None:
+        """Resume from a state written by ``save``: the next ``step``
+        warm starts from the stored subspace."""
+        from rails_tpu.io import load_restart_data
+
+        self._prev_space = np.asarray(load_restart_data(path)["V"])

@@ -29,6 +29,8 @@ __all__ = [
     "load_dataerik",
     "load_moc_problem",
     "add_border",
+    "save_restart_data",
+    "load_restart_data",
 ]
 
 REFERENCE_DATAERIK = "/root/reference/matlab/DataErik"
@@ -132,3 +134,21 @@ def add_border(a, m, b, border) -> Tuple[sp.csr_matrix, sp.csr_matrix,
         b = b[:, None]
     b2 = np.vstack([b, np.zeros((q, b.shape[1]))])
     return a2, m2, b2
+
+
+def save_restart_data(path: str, restart_data: dict) -> None:
+    """Persist a solve's warm-start data ``{V, AV, VAV}`` (SolveInfo.
+    restart_data) to one ``.npz`` file.
+
+    The reference's restart_data lives only in MATLAB workspace memory
+    (RAILSsolver.m:174-197); persisting it makes continuation runs
+    restartable across processes/jobs - load with ``load_restart_data``
+    and pass as ``SolverOptions(restart_data=...)`` (or feed
+    ``ContinuationSolver``)."""
+    np.savez(path, **{k: np.asarray(v) for k, v in restart_data.items()})
+
+
+def load_restart_data(path: str) -> dict:
+    """Load warm-start data written by ``save_restart_data``."""
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}

@@ -265,6 +265,27 @@ class TestExtras:
         # warm-started steps converge faster than the cold start
         assert min(iters[1:]) < iters[0]
 
+    def test_continuation_save_resume(self, rng, tmp_path):
+        """Cross-process continuation: save the converged subspace to
+        disk, resume in a FRESH ContinuationSolver, and the next step
+        still warm starts (the on-disk form of MATLAB's restart_data,
+        RAILSsolver.m:174-197)."""
+        from rails_tpu.continuation import ContinuationSolver
+        n = 20
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 2.0 * jnp.eye(n)
+        cont = ContinuationSolver(b, tol=1e-6)
+        _, _, info0 = cont.step(a)
+        ckpt = str(tmp_path / "cont.npz")
+        cont.save(ckpt)
+        cont2 = ContinuationSolver(b, tol=1e-6)
+        cont2.load(ckpt)
+        a2 = a + 0.05 * jnp.eye(n)
+        v, t, info1 = cont2.step(a2)
+        assert info1.converged
+        assert true_residual(a2, v, t, b) < 1e-4
+        assert info1.iter < info0.iter  # resumed warm start is faster
+
     def test_solver_state_invariants(self, rng):
         """Masked-state invariants (the watermark/capacity discipline of
         StlWrapper, GenericMultiVectorWrapper_test role): after every
