@@ -567,7 +567,16 @@ class LyapunovSolver:
     def _p(self) -> int:
         return self.B.shape[1] if self._b_is_operator else self._b_array.shape[1]
 
+    @highest_precision
     def _init_state(self, m, dtype):
+        # highest_precision: the first Gram block below is computed at
+        # full k0 width (v0.T @ av0 etc.).  Under the TPU default these
+        # matmuls run bf16 and a ~100-column warm start (space /
+        # restart_data) seeds VAV/VBV/VMV with ~1e-2 relative noise that
+        # incremental updates never repair - measured as a warm solve
+        # STALLING at 3.3e-4 (maxit) while the cold solve of the same
+        # problem converged in 47 iterations (round-4 continuation
+        # bench, n=4096 f32 v5e).  Cold starts (k0 = 1) barely noticed.
         opt = self.options
         key = jax.random.PRNGKey(opt.seed)
         key, sub = jax.random.split(key)
@@ -1127,10 +1136,13 @@ class LyapunovSolver:
         return iterate
 
 
+@highest_precision
 def _host_orthonormalize(w, nullspace, m_op, drop_tol):
     """Orthonormalize columns (optionally in the M-inner product, with
     nullspace deflation), dropping dependent columns.  Host-side helper
-    for the initial space; shapes may shrink (static thereafter)."""
+    for the initial space; shapes may shrink (static thereafter).
+    highest_precision: bf16 CGS leaves a ~1e-3 orthonormality defect on
+    a wide warm-start basis (see _init_state)."""
     w = jnp.asarray(w)
     if w.ndim == 1:
         w = w[:, None]
