@@ -734,6 +734,26 @@ def mesh_scaling_bench():
             use_k = bool(on_tpu)
             halo_fn = jax.jit(
                 lambda x: halo_ell_spmm(p, x, mesh1, use_kernel=use_k))
+            if nd > 1:
+                # ELL comm audit (mirrors the DIA one above): the
+                # compiled program should ppermute exactly the
+                # (halo_lo + halo_hi) x s neighbor rows per device
+                hlo_e = halo_fn.lower(x_e).compile().as_text()
+                moved_e = 0
+                for shape in re.findall(
+                        r"=\s*\(?(?:f32|f64|bf16)\[([\d,]*)\][^=\n]*"
+                        r"collective-permute", hlo_e):
+                    dims = [int(x) for x in shape.split(",") if x]
+                    moved_e += (int(np.prod(dims)) * itemsize
+                                if dims else itemsize)
+                analytic_e = (p.halo_lo + p.halo_hi) * s * itemsize
+                results["ell_comm"] = {
+                    "permute_bytes_per_device": moved_e,
+                    "analytic_halo_bytes": analytic_e,
+                    "ratio": moved_e / analytic_e if analytic_e else None,
+                }
+                results["ell_comm_minimality"] = (
+                    min(analytic_e / moved_e, 1.0) if moved_e else None)
             float(total(halo_fn(x_e)))
             dt_h = _chain_time(halo_fn, x_e, total,
                                *((10, 60) if on_tpu else (2, 10)))
@@ -901,7 +921,7 @@ def main():
         out["mesh_comm_minimality"] = r.get("comm_minimality")
         for k in ("ell_halo_devices", "ell_halo_overhead_vs_plain",
                   "ell_halo_overhead_vs_plain_raw", "ell_halo_nnz_per_s",
-                  "ell_halo_error"):
+                  "ell_halo_error", "ell_comm", "ell_comm_minimality"):
             if k in r:
                 out[k] = r[k]
 
