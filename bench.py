@@ -873,8 +873,11 @@ def main():
     # (static_cap, reserve) per phase, in run order.  Reserves are the
     # floor a later phase is guaranteed; statics are the ceiling any
     # phase may take while others still wait.
+    # continuation static cap 300: the phase ran 169-238 s across r04
+    # tunnels (three n=4096 solves; the warm engine recompiles once per
+    # distinct space width) - 240 left no tunnel-noise margin
     plan = {"spmm": (480, 0), "accuracy": (480, 180), "ell": (600, 180),
-            "solve": (360, 120), "continuation": (240, 80),
+            "solve": (360, 120), "continuation": (300, 80),
             "mesh": (300, 90)}
     order = list(plan)
 

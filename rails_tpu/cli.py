@@ -182,6 +182,8 @@ def main(argv=None) -> int:
                 b_arr = jnp.asarray(bs)
             solver = rails_tpu.LyapunovSolver(
                 aop, b_arr, msop, options=opts, mesh=mesh)
+            # narrate the distributed dispatch (halo fast path vs GSPMD)
+            print(f"Distributed operator: {type(solver.A).__name__}")
         else:
             solver = rails_tpu.LyapunovSolver(
                 red.operator, jnp.asarray(red.bs), red.ms, options=opts)

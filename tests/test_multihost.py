@@ -32,9 +32,12 @@ def test_two_process_cli(tmp_path):
     env["PYTHONPATH"] = os.pathsep.join(
         [repo] + env.get("PYTHONPATH", "").split(os.pathsep))
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # n=1024 over 2 procs x 2 devices = 256-row slabs (128-multiples):
+    # the halo-ELL fast path qualifies, so the CLI exercises the
+    # production distributed dispatch rather than the GSPMD fallback
     gen = subprocess.run(
         [sys.executable, "-m", "rails_tpu.models.make_problem",
-         "--kind", "laplace", str(tmp_path)],
+         "--kind", "laplace", "--n", "1024", str(tmp_path)],
         capture_output=True, text=True, env=env, timeout=120)
     assert gen.returncode == 0, gen.stderr
     coordinator = f"127.0.0.1:{_free_port()}"
@@ -60,6 +63,7 @@ def test_two_process_cli(tmp_path):
     for rc, out, err in outs:
         assert rc == 0, f"cli failed rc={rc}\nstdout:{out}\nstderr:{err}"
     assert "Distributed run: 2 processes, 4 global devices" in outs[0][1]
+    assert "Distributed operator: HaloEllOperator" in outs[0][1]
     assert "Solver converged" in outs[0][1]
     assert (tmp_path / "V.mtx").exists()
     assert (tmp_path / "T.mtx").exists()
