@@ -366,6 +366,17 @@ def dia_spmm_t(dia: DiaMatrix, xt: jax.Array,
     m, n = dia.shape
     offsets = dia.offsets
     s = xt.shape[0]
+    # Mosaic DMAs slice the sublane dimension at full width: it must be
+    # a tile (8) multiple or compilation fails ("Slice shape along
+    # dimension 0 must be aligned to tiling (8)").  Pad and strip - the
+    # solver's expand-sized multivectors (s=6 by default) hit this at
+    # every m large enough for the kernel (found by the round-4 n=65536
+    # scale probe; the n<=4096 tests fall back to XLA below 2 blocks).
+    s_pad = -(-s // 8) * 8
+    if s_pad != s:
+        out = dia_spmm_t(dia, jnp.pad(xt, ((0, s_pad - s), (0, 0))),
+                         block_rows=block_rows, impl=impl)
+        return out[:s]
     d = len(offsets)
     span_lo = max(0, -min(offsets))
     span_hi = max(0, max(offsets))
@@ -543,6 +554,12 @@ def dia_spmm_t_halo(dia: DiaMatrix, xt: jax.Array, hl: jax.Array,
     m, _ = dia.shape
     offsets = dia.offsets
     s = xt.shape[0]
+    s_pad = -(-s // 8) * 8
+    if s_pad != s:
+        # sublane tiling: see dia_spmm_t
+        pad = ((0, s_pad - s), (0, 0))
+        return dia_spmm_t_halo(dia, jnp.pad(xt, pad), jnp.pad(hl, pad),
+                               jnp.pad(hh, pad))[:s]
     span_lo = max(0, -min(offsets))
     span_hi = max(0, max(offsets))
     pad_l = _round_up(span_lo, 128)

@@ -213,6 +213,37 @@ class TestDiaSpmmKernel:
         assert np.allclose(np.asarray(y), np.asarray(op.fwd.matmat(x)),
                            atol=1e-4)
 
+    @pytest.mark.parametrize("s", [1, 6, 13])
+    def test_pallas_sublane_padding(self, rng, s):
+        """Non-vreg-multiple multivector widths are padded to 8 sublanes
+        before the kernel: real Mosaic rejects sublane slices that are
+        not tile (8) multiples ("Slice shape along dimension 0 must be
+        aligned to tiling (8)"), which the interpreter does NOT enforce
+        - the round-4 n=65536 scale probe caught the solver's default
+        expand=6 failing on hardware while every CPU test passed."""
+        from jax.experimental.pallas import tpu as pltpu
+        from rails_tpu.sparse.formats import DiaMatrix
+        from rails_tpu.sparse.spmm import dia_spmm_t, dia_spmm_t_halo
+        m = 2048
+        offsets = (-33, -1, 0, 1, 33)
+        data = jnp.asarray(rng.uniform(-1, 1, (len(offsets), m)),
+                           dtype=jnp.float32)
+        dia = DiaMatrix(data, offsets, (m, m))
+        x = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = dia_spmm_t(dia, x.T, block_rows=512).T
+        assert y.shape == (m, s)
+        assert np.allclose(np.asarray(y), np.asarray(dia.matmat(x)),
+                           atol=1e-4)
+        # halo variant: same padding, explicit halo operands
+        hl = jnp.zeros((s, 128), jnp.float32)
+        hh = jnp.zeros((s, 128), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            yh = dia_spmm_t_halo(dia, x.T, hl, hh).T
+        assert yh.shape == (m, s)
+        assert np.allclose(np.asarray(yh), np.asarray(dia.matmat(x)),
+                           atol=1e-4)
+
     @pytest.mark.parametrize("impl", ["v2", "v3"])
     def test_pallas_interpreter_remainder_and_asymmetric(self, rng, impl):
         # m % block_rows != 0 (remainder strip) + an asymmetric stencil
