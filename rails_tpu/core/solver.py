@@ -451,11 +451,23 @@ class LyapunovSolver:
                   f"The size of the space used for the solution is {k}")
         if info.status == -1 and self.options.projection_major == 1 \
                 and self.options.projection_minor == 0:
+            hint = ""
+            if dtype == jnp.float32 and n_it > 3 * max(k, 1):
+                # many iterations with little space growth = the classic
+                # f32 accuracy-floor stall (the projected solve's
+                # relative error ~ cond(VAV) * eps_f32 bounds the
+                # achievable residual); staged defect correction breaks
+                # through it (round-4 n=65536 measurement: plain f32
+                # plateaus at 3e-3-2e-2, solve_refined reaches 1e-4)
+                hint = (" At float32, a residual plateau over many "
+                        "iterations usually means the projected solve's "
+                        "f32 accuracy floor - rails_tpu.solve_refined "
+                        "(staged defect correction) converges past it.")
             warnings.warn(
                 "Convergence has not been achieved with "
                 "projection_method = 1. It is advised to set "
                 "projection_method to a different value. For instance "
-                "projection_method = 1.2.",
+                "projection_method = 1.2." + hint,
                 ProjectionMethodWarning)  # RAILSsolver.m:438-452
         return v, t, info
 
