@@ -75,6 +75,18 @@ def test_two_process_cli(tmp_path):
     assert iters[0] == iters[1]
 
 
+def test_distributed_rejects_singular_m(tmp_path):
+    """--distributed with a singular M (DAE/Schur problem) exits with a
+    clear message instead of attempting the gather-to-serial A11 path
+    under SPMD (single-process invocation: initialize() no-ops)."""
+    from rails_tpu.cli import main
+    from rails_tpu.models.make_problem import make
+
+    make("dae", str(tmp_path))
+    with pytest.raises(SystemExit, match="nonsingular M"):
+        main(["--platform", "cpu", "--distributed", str(tmp_path)])
+
+
 @pytest.mark.timeout(300)
 def test_two_process_distributed():
     worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
