@@ -876,7 +876,12 @@ def main():
     # continuation static cap 300: the phase ran 169-238 s across r04
     # tunnels (three n=4096 solves; the warm engine recompiles once per
     # distinct space width) - 240 left no tunnel-noise margin
-    plan = {"spmm": (480, 0), "accuracy": (480, 180), "ell": (600, 180),
+    # spmm_xla (the fallback when the pallas phase fails) sits in the
+    # plan with reserve 0 so IT still honors the reserves of everything
+    # after it - otherwise a failed pallas phase would hand the
+    # fallback an unreserved cap and re-open the starvation hole
+    plan = {"spmm": (480, 0), "spmm_xla": (300, 0),
+            "accuracy": (480, 180), "ell": (600, 180),
             "solve": (360, 120), "continuation": (300, 80),
             "mesh": (300, 90)}
     order = list(plan)

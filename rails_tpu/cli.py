@@ -128,25 +128,35 @@ def main(argv=None) -> int:
 
     red = None
     if mesh is not None:
-        # direct (non-Schur) distributed path: requires nonsingular M
+        # direct (non-Schur) distributed path: requires a nonsingular
+        # DIAGONAL M (the path builds a DiagonalOperator - silently
+        # dropping off-diagonals would solve the wrong equation)
         import scipy.sparse as sp_sparse
 
         from rails_tpu.sparse.formats import sparse_from_scipy
 
-        mdiag = (np.asarray(m.diagonal()).ravel()
-                 if sp_sparse.issparse(m) else np.diag(np.asarray(m)))
+        m_sp = sp_sparse.csr_matrix(m)
+        mdiag = np.asarray(m_sp.diagonal()).ravel()
+        off_diag = m_sp - sp_sparse.diags(mdiag)
+        if off_diag.nnz and abs(off_diag).max() > 1e-14:
+            raise SystemExit(
+                "--distributed currently supports diagonal mass "
+                "matrices only (M has off-diagonal entries; run "
+                "without --distributed)")
         if np.any(np.abs(mdiag) < 1e-12):
             raise SystemExit(
                 "--distributed requires a nonsingular M (the Schur "
                 "path's A11 factorization is gather-to-serial; run "
                 "singular-M problems without --distributed)")
-        aop = sparse_from_scipy(sp_sparse.csr_matrix(a), fmt=args.fmt)
-        msop = rails_tpu.DiagonalOperator(
-            jnp.asarray(mdiag), is_spd=bool(np.all(mdiag > 0)))
-        bs = np.asarray(b.todense()) if sp_sparse.issparse(b) \
-            else np.asarray(b)
-        if bs.ndim == 1:
-            bs = bs[:, None]
+        if not args.only_eigenvalues:
+            aop = sparse_from_scipy(sp_sparse.csr_matrix(a),
+                                    fmt=args.fmt)
+            msop = rails_tpu.DiagonalOperator(
+                jnp.asarray(mdiag), is_spd=bool(np.all(mdiag > 0)))
+            bs = np.asarray(b.todense()) if sp_sparse.issparse(b) \
+                else np.asarray(b)
+            if bs.ndim == 1:
+                bs = bs[:, None]
     else:
         print("Computing Schur complement")
         with timer("Driver", "schur"):

@@ -285,10 +285,10 @@ def eigs_general(
         lam = jnp.diagonal(t)
         k = h.shape[0]
         eye = jnp.eye(k, dtype=cdtype)
-        tiny = jnp.finfo(lam.real.dtype).eps * (
-            jnp.max(jnp.abs(t)) + jnp.finfo(lam.real.dtype).tiny)
+        eps_t = jnp.finfo(lam.real.dtype).eps
+        t_scale = jnp.max(jnp.abs(t)) + jnp.finfo(lam.real.dtype).tiny
 
-        def vec(i):
+        def solve_at(i, tiny):
             col = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
             inner = (col[:, None] < i) & (col[None, :] < i)
             d = t - lam[i] * eye
@@ -302,7 +302,25 @@ def eigs_general(
             dt = jnp.where(inner, d, eye)
             rhs = jnp.where(col < i, -t[:, i],
                             jnp.where(col == i, 1.0, 0.0))
-            y = jax.scipy.linalg.solve_triangular(dt, rhs, lower=False)
+            return jax.scipy.linalg.solve_triangular(dt, rhs, lower=False)
+
+        def vec(i):
+            # overflow ladder (LAPACK ztrevc rescales inside the solve;
+            # here the substitution is one vectorized triangular solve,
+            # so protect by escalating the pivot floor instead): a
+            # cluster of c coincident Ritz values grows y like
+            # (t_scale/tiny)^c - at eps floor and complex64 this
+            # overflows for c >~ 6.  Retry at a sqrt(eps) floor (growth
+            # 1/sqrt(eps)^c, finite to c ~ 11), then fall back to the
+            # Schur vector itself (exact for the cluster's leading
+            # member, a finite invariant-subspace direction otherwise).
+            col = jax.lax.broadcasted_iota(jnp.int32, (k,), 0)
+            y1 = solve_at(i, eps_t * t_scale)
+            y2 = solve_at(i, jnp.sqrt(eps_t) * t_scale)
+            e_i = jnp.where(col == i, 1.0, 0.0).astype(cdtype)
+            ok1 = jnp.all(jnp.isfinite(y1.real) & jnp.isfinite(y1.imag))
+            ok2 = jnp.all(jnp.isfinite(y2.real) & jnp.isfinite(y2.imag))
+            y = jnp.where(ok1, y1, jnp.where(ok2, y2, e_i))
             return u @ y
 
         vecs = jax.vmap(vec)(jnp.arange(k)).T

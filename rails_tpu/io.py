@@ -145,7 +145,11 @@ def save_restart_data(path: str, restart_data: dict) -> None:
     restartable across processes/jobs - load with ``load_restart_data``
     and pass as ``SolverOptions(restart_data=...)`` (or feed
     ``ContinuationSolver``)."""
-    np.savez(path, **{k: np.asarray(v) for k, v in restart_data.items()})
+    # write through a file object: np.savez(path) silently APPENDS .npz
+    # to suffix-less paths while np.load does not, breaking round-trips
+    with open(path, "wb") as f:
+        np.savez(f, **{k: np.asarray(v)
+                       for k, v in restart_data.items()})
 
 
 def load_restart_data(path: str) -> dict:

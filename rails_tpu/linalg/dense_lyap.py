@@ -354,9 +354,13 @@ def lyap(
             better = rn_new < best_rn
             best_x = jnp.where(better, x_new, best_x)
             best_rn = jnp.where(better, rn_new, best_rn)
-            # stall: no meaningful progress this round (covers both
-            # convergence and cond-limited stagnation/divergence)
-            stalled = rn_new > 0.5 * rn
+            # stall: essentially no progress this round (covers both
+            # convergence and cond-limited stagnation/divergence).
+            # Threshold 0.9: steady sub-2x contraction must keep
+            # iterating - the escalated round count exists precisely
+            # for slow-but-converging pencils; best-iterate accept
+            # makes running extra rounds safe
+            stalled = rn_new > 0.9 * rn
             return x_new, best_x, rn_new, best_rn, i + 1, stalled
 
         rn0 = jnp.linalg.norm(gen_res(x))

@@ -41,7 +41,7 @@ import numpy as np
 import scipy.sparse as sp
 
 from rails_tpu.operators import CallableOperator, LinearOperator
-from rails_tpu.sparse.formats import sparse_from_scipy
+from rails_tpu.sparse.formats import SparseOperator, sparse_from_scipy
 
 __all__ = ["SchurReduction", "schur_reduce"]
 
@@ -233,11 +233,17 @@ class SchurReduction:
         """S = A22 - A21 A11^{-1} A12, matrix-free
         (SchurOperator::Apply pre-solution, SchurOperator.cpp:201-233).
         With an empty singular part (nonsingular M: n1 = 0) the
-        correction term vanishes and S = A22 = A."""
+        correction term vanishes and S = A22 = A - returned as the
+        concrete SparseOperator (payload type intact for shard_operator
+        halo dispatch / payload-as-argument engines), with the hurwitz
+        tag applied."""
         if self.n1 == 0:
-            return CallableOperator(
-                self.A22.matmat, (self.n2, self.n2),
-                rfn=self.A22.rmatmat, is_hurwitz=self.hurwitz)
+            op = self.A22
+            if self.hurwitz and not op.is_hurwitz:
+                op = SparseOperator(
+                    op.fwd, op.bwd, is_symmetric=op.is_symmetric,
+                    is_spd=op.is_spd, is_hurwitz=True, nnz=op.nnz)
+            return op
 
         def apply(x):
             return self.A22.matmat(x) - self.A21.matmat(

@@ -233,6 +233,36 @@ class TestEigsGeneral:
             r = a @ v[:, j] - got[j] * v[:, j]
             assert np.linalg.norm(r) < 1e-6 * abs(got[0])
 
+    def test_coincident_cluster_no_overflow(self):
+        """8-fold COINCIDENT dominant eigenvalue: unscaled ztrevc
+        back-substitution grows like (1/eps)^depth and overflowed to
+        inf/NaN vectors (round-4 review finding); the pivot-floor
+        escalation ladder keeps everything finite."""
+        n = 300
+        rng = np.random.default_rng(5)
+        d = np.concatenate([np.full(8, 2.0), rng.uniform(-1.0, 1.0,
+                                                         n - 8)])
+        b = np.diag(d)
+        b[0:8, 8:] = rng.uniform(-0.2, 0.2, (8, n - 8))
+        q, _ = np.linalg.qr(rng.uniform(-1, 1, (n, n)))
+        a = q @ b @ q.T
+        op = DenseOperator(jnp.asarray(a))
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", EigsConvergenceWarning)
+            evals, evecs, info = eigs_general(op, num=8, tol=1e-6,
+                                              block_size=8,
+                                              max_restarts=80,
+                                              return_info=True)
+        got = np.asarray(evals)
+        v = np.asarray(evecs)
+        assert np.all(np.isfinite(got.real)) and np.all(
+            np.isfinite(got.imag))
+        assert np.all(np.isfinite(v.real)) and np.all(np.isfinite(v.imag))
+        assert np.allclose(np.real(got), 2.0, atol=1e-5)
+        # the returned vectors span a genuinely multi-dimensional space
+        s = np.linalg.svd(v[:, :8], compute_uv=False)
+        assert s[3] > 1e-4  # at least 4 independent directions
+
     def test_general_block_one_matches_default(self):
         n = 200
         rng = np.random.default_rng(11)

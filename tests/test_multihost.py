@@ -75,6 +75,30 @@ def test_two_process_cli(tmp_path):
     assert iters[0] == iters[1]
 
 
+def test_distributed_rejects_nondiagonal_m(tmp_path):
+    """--distributed builds a DiagonalOperator from M: a non-diagonal
+    mass matrix must be rejected, not silently truncated to its
+    diagonal (round-4 review finding)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    from rails_tpu import io as rio
+    from rails_tpu.cli import main
+    from rails_tpu.models.problems import laplacian2
+
+    n = 64
+    rng = np.random.default_rng(0)
+    a = sp.csr_matrix(laplacian2(n))
+    m = sp.diags([np.full(n - 1, 0.1), rng.uniform(0.5, 1.5, n),
+                  np.full(n - 1, 0.1)], [-1, 0, 1]).tocsr()
+    b = rng.uniform(0, 1, (n, 1))
+    rio.write_matrix_market(str(tmp_path / "A.mtx"), a)
+    rio.write_matrix_market(str(tmp_path / "M.mtx"), m)
+    rio.write_matrix_market(str(tmp_path / "B.mtx"), sp.csr_matrix(b))
+    with pytest.raises(SystemExit, match="diagonal mass"):
+        main(["--platform", "cpu", "--distributed", str(tmp_path)])
+
+
 def test_distributed_rejects_singular_m(tmp_path):
     """--distributed with a singular M (DAE/Schur problem) exits with a
     clear message instead of attempting the gather-to-serial A11 path

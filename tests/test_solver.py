@@ -276,7 +276,9 @@ class TestExtras:
         a = a - 2.0 * jnp.eye(n)
         cont = ContinuationSolver(b, tol=1e-6)
         _, _, info0 = cont.step(a)
-        ckpt = str(tmp_path / "cont.npz")
+        # suffix-less path: np.savez alone would append .npz and break
+        # the round-trip (round-4 review finding)
+        ckpt = str(tmp_path / "cont_checkpoint")
         cont.save(ckpt)
         cont2 = ContinuationSolver(b, tol=1e-6)
         cont2.load(ckpt)
