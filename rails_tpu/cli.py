@@ -128,35 +128,58 @@ def main(argv=None) -> int:
 
     red = None
     if mesh is not None:
-        # direct (non-Schur) distributed path: requires a nonsingular
-        # DIAGONAL M (the path builds a DiagonalOperator - silently
-        # dropping off-diagonals would solve the wrong equation)
         import scipy.sparse as sp_sparse
 
+        from rails_tpu.parallel.schur_dist import pad_system
         from rails_tpu.sparse.formats import sparse_from_scipy
 
+        # JAX shardings need the dynamic row count divisible by the
+        # mesh; pad with decoupled stable zero-forced rows when it is
+        # not (deterministic, so --only-eigenvalues reloads stay
+        # consistent; the padded solution block is exactly zero)
+        a, m, b, n_pad = pad_system(a, m, b, len(jax.devices()))
+        if n_pad:
+            print(f"Padded system with {n_pad} decoupled rows for the "
+                  f"{len(jax.devices())}-device mesh")
         m_sp = sp_sparse.csr_matrix(m)
         mdiag = np.asarray(m_sp.diagonal()).ravel()
-        off_diag = m_sp - sp_sparse.diags(mdiag)
-        if off_diag.nnz and abs(off_diag).max() > 1e-14:
-            raise SystemExit(
-                "--distributed currently supports diagonal mass "
-                "matrices only (M has off-diagonal entries; run "
-                "without --distributed)")
         if np.any(np.abs(mdiag) < 1e-12):
-            raise SystemExit(
-                "--distributed requires a nonsingular M (the Schur "
-                "path's A11 factorization is gather-to-serial; run "
-                "singular-M problems without --distributed)")
-        if not args.only_eigenvalues:
-            aop = sparse_from_scipy(sp_sparse.csr_matrix(a),
-                                    fmt=args.fmt)
-            msop = rails_tpu.DiagonalOperator(
-                jnp.asarray(mdiag), is_spd=bool(np.all(mdiag > 0)))
-            bs = np.asarray(b.todense()) if sp_sparse.issparse(b) \
-                else np.asarray(b)
-            if bs.ndim == 1:
-                bs = bs[:, None]
+            # distributed Schur path - the reference driver's actual
+            # production configuration (MPI solve on the SchurOperator,
+            # /root/reference/src/main.cpp:78-98): the reduction is
+            # built replicated on every process (redundant host work,
+            # the k x k pattern), A12/A21/A22 applies are distributed,
+            # and the A11 dense LU is replicated on every device (the
+            # serial KLU of SchurOperator.cpp:177-186 as redundant
+            # replicated compute)
+            from rails_tpu.parallel.schur_dist import distribute_schur
+
+            print("Computing Schur complement")
+            with timer("Driver", "schur"):
+                red = schur_reduce(a, m, b)
+            if not args.only_eigenvalues:
+                aop = distribute_schur(red, mesh, fmt=args.fmt)
+                msop = red.ms
+                bs = np.asarray(red.bs)
+        else:
+            # direct (non-Schur) distributed path: requires a DIAGONAL
+            # M (the path builds a DiagonalOperator - silently dropping
+            # off-diagonals would solve the wrong equation)
+            off_diag = m_sp - sp_sparse.diags(mdiag)
+            if off_diag.nnz and abs(off_diag).max() > 1e-14:
+                raise SystemExit(
+                    "--distributed currently supports diagonal mass "
+                    "matrices only (M has off-diagonal entries; run "
+                    "without --distributed)")
+            if not args.only_eigenvalues:
+                aop = sparse_from_scipy(sp_sparse.csr_matrix(a),
+                                        fmt=args.fmt)
+                msop = rails_tpu.DiagonalOperator(
+                    jnp.asarray(mdiag), is_spd=bool(np.all(mdiag > 0)))
+                bs = np.asarray(b.todense()) if sp_sparse.issparse(b) \
+                    else np.asarray(b)
+                if bs.ndim == 1:
+                    bs = bs[:, None]
     else:
         print("Computing Schur complement")
         with timer("Driver", "schur"):
@@ -207,6 +230,9 @@ def main(argv=None) -> int:
         outcome = "converged" if info.converged else "did not converge"
         print(f"Solver {outcome} in {info.iter} iterations, "
               f"relative residual {info.res:.3e}, space size {v.shape[1]}")
+        v_dev = v  # keep the (possibly row-sharded) device V: the
+        # eigenvalue phase runs on it WITHOUT a host gather (the gather
+        # below serves only the rank-0 checkpoint write)
         if mesh is not None and jax.process_count() > 1:
             from jax.experimental import multihost_utils
 
@@ -220,6 +246,7 @@ def main(argv=None) -> int:
         print("Reloading V.mtx / T.mtx")
         v = jnp.asarray(rio.read_matrix_market(v_path))
         t = jnp.asarray(rio.read_matrix_market(t_path))
+        v_dev = None  # reloaded host-side; post-processing runs replicated
 
     eig_params = params.sublist("Eigenvalue Solver")
     num = args.num_eigenvalues or int(
@@ -227,10 +254,23 @@ def main(argv=None) -> int:
 
     print("Computing eigenvalues of the solution operator")
     with timer("Driver", "eigenvalues"):
-        if red is None:
-            # direct path: X = V T V', applied factored (replicated
-            # small compute on every process, the reference's k x k
-            # pattern); V gathered to host above
+        eig_mesh = None
+        if red is None and mesh is not None and v_dev is not None:
+            # distributed post-processing: the reference's Anasazi
+            # eigensolve runs on the distributed solution operator
+            # across all ranks (/root/reference/src/main.cpp:140-170).
+            # X = (V T) V' as a LowRankOperator over the row-sharded V -
+            # the apply is local GEMM + psum under GSPMD, the Krylov
+            # basis is row-sharded inside eigs, and V is never gathered
+            # for this phase.
+            from rails_tpu.operators import LowRankOperator
+
+            sop = LowRankOperator(v_dev @ jnp.asarray(t), v_dev)
+            eig_mesh = mesh
+        elif red is None:
+            # direct path, single-controller (or V reloaded from disk):
+            # X = V T V', applied factored (replicated small compute on
+            # every process, the reference's k x k pattern)
             from rails_tpu.operators import CallableOperator
 
             v_h, t_h = jnp.asarray(v), jnp.asarray(t)
@@ -249,7 +289,8 @@ def main(argv=None) -> int:
             tol=float(eig_params.get("Convergence Tolerance", 1e-6)),
             block_size=bsz,
             max_restarts=int(eig_params.get("Maximum Restarts", 100)),
-            subspace=None if nblocks is None else bsz * int(nblocks))
+            subspace=None if nblocks is None else bsz * int(nblocks),
+            mesh=eig_mesh)
 
     with timer("Driver", "trace"):
         # direct path: tr(V T V') = tr(T) for orthonormal V

@@ -63,6 +63,7 @@ def eigs(
     key: Optional[jax.Array] = None,
     dtype=None,
     return_info: bool = False,
+    mesh=None,
 ):
     """Largest-|lambda| eigenpairs of a symmetric operator.
 
@@ -83,6 +84,16 @@ def eigs(
     applied to the column b back, fully reorthogonalized - recovering
     eigenvalue multiplicity up to b directly.  Default 1 is exactly the
     classic thick-restart Lanczos path.
+
+    ``mesh``: optional 1-D rows mesh.  The Krylov basis is placed
+    row-sharded over it, so every dot/orthogonalization becomes
+    local-GEMM + psum and the operator applies run distributed - the
+    posture of the reference's Anasazi eigensolve on the distributed
+    solution operator (/root/reference/src/main.cpp:140-170), with no
+    host gather of the basis.  The operator rides into the jitted
+    sweep as a pytree ARGUMENT (payload-carrying operators such as
+    LowRankOperator over a sharded V work in multi-controller runs,
+    where global arrays may not be closed over).
     """
     apply_op, m = _as_apply(op)
     if dtype is None:
@@ -102,10 +113,13 @@ def eigs(
 
     @jax.jit
     @highest_precision
-    def sweep(basis, nb, key):
+    def sweep(op, basis, nb, key):
         """Extend an orthonormal basis (m, L) holding nb valid columns by
         (band-)Lanczos-with-full-reorth until L columns; returns the
-        projected matrix G = Q' A Q and the new basis."""
+        projected matrix G = Q' A Q and the new basis.  ``op`` enters as
+        a pytree argument (see the mesh note in the docstring)."""
+        apply_op = op.matmat
+
         def body(carry, j):
             q, key = carry
             key, sub = jax.random.split(key)
@@ -150,12 +164,16 @@ def eigs(
         return ritz, aritz, evals, resid, key
 
     basis = jnp.zeros((m, L), dtype=dtype)
+    if mesh is not None:
+        from rails_tpu.parallel.mesh import row_sharding
+
+        basis = jax.device_put(basis, row_sharding(mesh))
     nb = jnp.int32(0)
     evals = None
     converged = False
     restart = 0
     for restart in range(max(1, max_restarts)):
-        ritz, aritz, evals, resid, key = sweep(basis, nb, key)
+        ritz, aritz, evals, resid, key = sweep(op, basis, nb, key)
         scale = jnp.maximum(jnp.abs(evals[0]), eps)
         conv = np.asarray(resid[:num] <= tol * scale)
         if conv.all():

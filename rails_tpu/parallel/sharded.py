@@ -108,6 +108,10 @@ def shard_operator(op: LinearOperator, mesh: Mesh,
     """
     if spmm not in ("auto", "halo", "gspmd"):
         raise ValueError(f"unknown spmm strategy {spmm!r}")
+    if getattr(op, "already_placed", False):
+        # DistributedSchurOperator (and anything else constructed on a
+        # mesh) arrives with its payloads already laid out
+        return op
     if isinstance(op, DenseOperator):
         return DenseOperator(
             jax.device_put(op.a, row_sharding(mesh)),

@@ -78,6 +78,11 @@ class SchurReduction:
         a22 = a[self.idx2][:, self.idx2].tocsr()
         self._a_scipy = a
         self._a11_scipy = a11
+        # kept for distribute_schur (parallel/schur_dist.py), which
+        # rebuilds mesh-layout payloads from the host submatrices
+        self._a12_scipy = a12
+        self._a21_scipy = a21
+        self._a22_scipy = a22
         self.A12 = sparse_from_scipy(a12, fmt=fmt, dtype=dtype)
         self.A21 = sparse_from_scipy(a21, fmt=fmt, dtype=dtype)
         self.A22 = sparse_from_scipy(a22, fmt=fmt, dtype=dtype)
@@ -111,6 +116,7 @@ class SchurReduction:
     def _setup_a11(self, a11_solver):
         self.a11_solver_kind = (
             a11_solver if isinstance(a11_solver, str) else "custom")
+        self._a11_lu = None  # (lu, piv) when dense_lu; distribute_schur
         if callable(a11_solver):
             self.a11_solve = a11_solver
             self.a11_solve_t = getattr(a11_solver, "transpose_solve", None)
@@ -119,6 +125,7 @@ class SchurReduction:
             a11_dense = jnp.asarray(self._a11_scipy.toarray(),
                                     dtype=self.dtype)
             lu, piv = jax.scipy.linalg.lu_factor(a11_dense)
+            self._a11_lu = (lu, piv)
 
             def solve(x, lu=lu, piv=piv):
                 return jax.scipy.linalg.lu_solve((lu, piv), x)

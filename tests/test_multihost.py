@@ -73,6 +73,18 @@ def test_two_process_cli(tmp_path):
     iters = [re.search(r"converged in (\d+) iterations", o[1]).group(1)
              for o in outs]
     assert iters[0] == iters[1]
+    # distributed post-processing (VERDICT r04 item 8): the eigenvalue
+    # table comes from eigs over the ROW-SHARDED V (no host gather);
+    # both processes print identical tables from replicated eigenvalues
+    def table(text):
+        rows = re.findall(r"^\s*(-?\d\S*)\s+(-?\d\S*)\s*$", text, re.M)
+        return [float(r[0]) for r in rows]
+
+    t0, t1 = table(outs[0][1]), table(outs[1][1])
+    assert len(t0) >= 3
+    import numpy as np
+
+    np.testing.assert_allclose(t0, t1, rtol=1e-12)
 
 
 def test_distributed_rejects_nondiagonal_m(tmp_path):
@@ -99,16 +111,91 @@ def test_distributed_rejects_nondiagonal_m(tmp_path):
         main(["--platform", "cpu", "--distributed", str(tmp_path)])
 
 
-def test_distributed_rejects_singular_m(tmp_path):
-    """--distributed with a singular M (DAE/Schur problem) exits with a
-    clear message instead of attempting the gather-to-serial A11 path
-    under SPMD (single-process invocation: initialize() no-ops)."""
+def test_distributed_singular_m_runs(tmp_path, capsys):
+    """--distributed with a singular M (DAE/Schur problem) now runs the
+    distributed Schur path (VERDICT r04 item 1) - the reference
+    driver's actual production configuration (main.cpp:78-98).  Single-
+    process invocation over the in-process 8-device mesh; n=64 gives
+    n2=43, so the mesh-divisibility padding also fires."""
     from rails_tpu.cli import main
     from rails_tpu.models.make_problem import make
 
     make("dae", str(tmp_path))
-    with pytest.raises(SystemExit, match="nonsingular M"):
-        main(["--platform", "cpu", "--distributed", str(tmp_path)])
+    rc = main(["--platform", "cpu", "--distributed", str(tmp_path)])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Padded system with" in out
+    assert "Distributed operator: DistributedSchurOperator" in out
+    assert "Solver converged" in out
+
+
+@pytest.mark.timeout(600)
+def test_two_process_cli_dae(tmp_path):
+    """End-to-end 2-process distributed Schur solve on the generated
+    'dae' problem (the VERDICT r04 item-1 acceptance test): both
+    processes run the DistributedSchurOperator, converge with identical
+    iteration counts, and match the single-process (non-distributed)
+    Schur solve's iteration count and eigenvalue table."""
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [repo] + env.get("PYTHONPATH", "").split(os.pathsep))
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # n=96 -> n1=32 singular, n2=64: divisible by the 4-device global
+    # mesh (shard_map scatter path) and by 2 processes (B slabs)
+    gen = subprocess.run(
+        [sys.executable, "-m", "rails_tpu.models.make_problem",
+         "--kind", "dae", "--n", "96", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=120)
+    assert gen.returncode == 0, gen.stderr
+    coordinator = f"127.0.0.1:{_free_port()}"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "rails_tpu.cli", "--platform", "cpu",
+             "--x64", "--distributed", "--coordinator", coordinator,
+             "--num-processes", "2", "--process-id", str(pid),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env)
+        for pid in (0, 1)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=480)
+            outs.append((p.returncode, out, err))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for rc, out, err in outs:
+        assert rc == 0, f"cli failed rc={rc}\nstdout:{out}\nstderr:{err}"
+    assert "Distributed operator: DistributedSchurOperator" in outs[0][1]
+    assert "Solver converged" in outs[0][1]
+    iters = [re.search(r"converged in (\d+) iterations", o[1]).group(1)
+             for o in outs]
+    assert iters[0] == iters[1]
+    # single-process non-distributed oracle on the same directory
+    single = subprocess.run(
+        [sys.executable, "-m", "rails_tpu.cli", "--platform", "cpu",
+         "--x64", str(tmp_path)],
+        capture_output=True, text=True, env=env, timeout=480)
+    assert single.returncode == 0, single.stderr
+    it_single = re.search(r"converged in (\d+) iterations",
+                          single.stdout).group(1)
+    assert iters[0] == it_single
+    # eigenvalue tables agree (distributed post-processing oracle)
+    def table(text):
+        rows = re.findall(r"^\s*(-?\d\S*)\s+(-?\d\S*)\s*$", text, re.M)
+        return [float(r[0]) for r in rows]
+
+    ev_dist, ev_single = table(outs[0][1]), table(single.stdout)
+    assert len(ev_dist) >= 3
+    import numpy as np
+
+    np.testing.assert_allclose(ev_dist[:3], ev_single[:3], rtol=1e-5)
 
 
 @pytest.mark.timeout(300)
