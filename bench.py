@@ -626,6 +626,92 @@ def phase_continuation() -> None:
     print(json.dumps(out))
 
 
+def phase_hub() -> None:
+    """Power-law sparsity (VERDICT r04 item 5): hub-split operator vs
+    the XLA take fallback on a superhub-with-locality matrix - banded
+    bulk (the windowizable class) plus high-degree hub rows/columns
+    spanning the whole index space (which alone kill the windowed
+    kernel: without the split the whole matrix runs at take speed).
+    Pure Barabasi-Albert, where NO VMEM-window split can pay, is the
+    recorded probe benchmarks/probes/PROBE_hub_ba.json."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    jax, on_tpu, dev_kind, bw = _jax_setup()
+    import jax.numpy as jnp
+
+    from rails_tpu.sparse.formats import sparse_from_scipy
+    from rails_tpu.sparse.hub import hub_operator
+
+    dtype = jnp.float32 if on_tpu else jnp.float64
+    m, ell_l, band = (1 << 19 if on_tpu else 1 << 13), 8, 64
+    n_hubs, hub_deg = 64, (4096 if on_tpu else 512)
+    rng = np.random.default_rng(0)
+    base = np.arange(m)
+    idx = np.clip(base[:, None] + rng.integers(-band, band + 1, (m, ell_l)),
+                  0, m - 1)
+    val = rng.uniform(-1, 1, (m, ell_l)) * 0.2
+    rows = np.repeat(base, ell_l)
+    cols = idx.ravel()
+    vals = val.ravel()
+    hubs = rng.choice(m, n_hubs, replace=False)
+    h_rows, h_cols, h_vals = [], [], []
+    for hb in hubs:
+        c = rng.choice(m, hub_deg, replace=False)
+        v = rng.uniform(-1, 1, hub_deg) * 0.1
+        h_rows.append(np.full(hub_deg, hb)); h_cols.append(c)
+        h_vals.append(v)
+        # symmetric partners (hub columns)
+        h_rows.append(c); h_cols.append(np.full(hub_deg, hb))
+        h_vals.append(v * 0.5)
+    a = sp.coo_matrix(
+        (np.concatenate([vals] + h_vals),
+         (np.concatenate([rows] + h_rows),
+          np.concatenate([cols] + h_cols))), shape=(m, m)).tocsr()
+    nnz = int(a.nnz)
+    s = 16
+    x = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=dtype)
+    total = jax.jit(lambda z: jnp.sum(jnp.abs(z)))
+
+    out = {"hub_m": m, "hub_nnz": nnz, "hub_count": n_hubs,
+           "hub_deg": hub_deg, "device": dev_kind}
+    op = hub_operator(a, max_hubs=n_hubs, degree_factor=8.0,
+                      dtype=dtype)
+    out["hub_rest_windowed"] = op.rest.well is not None
+    # correctness on the live payloads
+    y = np.asarray(op.matmat(x), np.float64)
+    ref = a @ np.asarray(x, np.float64)
+    out["hub_rel_err"] = float(
+        np.abs(y - ref).max() / max(np.abs(ref).max(), 1e-30))
+    print(json.dumps(out), flush=True)
+
+    import functools
+
+    # operator rides as a jit ARGUMENT (closure constants would ship
+    # the payload in the compile request body - HTTP 413 on the tunnel)
+    hub_jit = jax.jit(lambda o, z: o.matmat(z))
+    hub_fn = functools.partial(hub_jit, op)
+    print("hub: timing split...", file=sys.stderr, flush=True)
+    float(total(hub_fn(x)))
+    lo, hi = (10, 40) if on_tpu else (2, 8)
+    dt_h = _chain_time(hub_fn, x, total, lo, hi)
+    out["hub_spmm_nnz_per_s"] = nnz / dt_h
+    print(json.dumps(out), flush=True)
+
+    # the fallback the reference class would get: whole matrix as plain
+    # ELL (hub rows blow the window analysis -> take path end to end)
+    flat = sparse_from_scipy(a, fmt="ell", dtype=dtype)
+    out["hub_flat_windowed"] = flat.fwd.well is not None
+    xla_jit = jax.jit(lambda o, z: o.matmat(z))
+    xla_fn = functools.partial(xla_jit, flat.fwd)
+    print("hub: timing take path...", file=sys.stderr, flush=True)
+    float(total(xla_fn(x)))
+    dt_x = _chain_time(xla_fn, x, total, 2, 4)
+    out["hub_xla_nnz_per_s"] = nnz / dt_x
+    out["hub_speedup_vs_xla"] = dt_x / dt_h
+    print(json.dumps(out))
+
+
 def phase_scale() -> None:
     """Production-scale refined solve INSIDE the official bench
     (VERDICT r04 next-round item 6: SCALE_r04 lived in a standalone
@@ -986,6 +1072,8 @@ def main():
             return phase_continuation()
         if phase == "scale":
             return phase_scale()
+        if phase == "hub":
+            return phase_hub()
         raise SystemExit(f"unknown phase {phase}")
 
     # Orchestrate phases in subprocesses (tunnel-wedge isolation),
@@ -1068,8 +1156,9 @@ def main():
     # after the phases whose headline numbers anchor every round
     plan = {"spmm": (480, 0), "spmm_xla": (300, 0),
             "accuracy": (480, 180), "ell": (600, 150),
-            "solve": (360, 100), "continuation": (300, 70),
-            "scale": (420, 120), "mesh": (300, 80)}
+            "hub": (240, 60), "solve": (360, 100),
+            "continuation": (300, 70), "scale": (420, 100),
+            "mesh": (300, 80)}
     order = list(plan)
 
     def run(name, args, merge=None):
@@ -1102,6 +1191,10 @@ def main():
     # 480s cap (partial results still landed via incremental emit)
     run("ell",
         ["--phase", "ell"],
+        merge=lambda r: out.update(
+            {k: v for k, v in r.items() if k != "device"}))
+    run("hub",
+        ["--phase", "hub"],
         merge=lambda r: out.update(
             {k: v for k, v in r.items() if k != "device"}))
 

@@ -636,8 +636,17 @@ def window_fits_vmem(well: WindowedEll, s: int, itemsize: int = 4,
 
 
 def ell_spmm(ell, x: jax.Array) -> jax.Array:
-    """Dispatching ELL SpMM in (n, s) layout: windowed Pallas kernel on
-    TPU float32 when the payload qualifies, XLA take path otherwise."""
+    """Dispatching ELL SpMM in (n, s) layout: dense-window MXU kernel
+    for wide multivectors (s >= wide.min_s, payload present - the
+    gather kernel's issue cost grows with s while the MXU route's does
+    not, see wide_spmm.py), windowed gather Pallas kernel on TPU
+    float32 when the payload qualifies, XLA take path otherwise."""
+    if getattr(ell, "wide", None) is not None:
+        from rails_tpu.sparse.wide_spmm import wide_spmm
+
+        y = wide_spmm(ell, x)
+        if y is not None:
+            return y
     well = getattr(ell, "well", None)
     if (well is not None
             and jax.default_backend() == "tpu"

@@ -133,6 +133,9 @@ class EllMatrix:
     values: jax.Array                # (m, L)
     shape: Tuple[int, int]           # static
     well: Optional[object] = None    # WindowedEll or None
+    wide: Optional[object] = None    # WideWindow (dense-window MXU
+    # payload for wide multivectors, sparse/wide_spmm.py) or None;
+    # built on request (sparse_from_scipy(..., wide_s=True))
 
     def matmat(self, x: jax.Array) -> jax.Array:
         # one (m, s) gather + fused multiply-add per slot: peak memory
@@ -166,14 +169,16 @@ class EllMatrix:
             return self
         well = None if self.well is None else self.well.astype(dtype)
         return EllMatrix(self.indices, self.values.astype(dtype),
-                         self.shape, well)
+                         self.shape, well, self.wide)
 
     def tree_flatten(self):
-        return (self.indices, self.values, self.well), (self.shape,)
+        return (self.indices, self.values, self.well, self.wide), (
+            self.shape,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(children[0], children[1], aux[0], children[2])
+        return cls(children[0], children[1], aux[0], children[2],
+                   children[3])
 
 
 @jax.tree_util.register_pytree_node_class
@@ -352,7 +357,8 @@ def _dia_from_scipy(a: sp.spmatrix, dtype) -> DiaMatrix:
     return DiaMatrix(jnp.asarray(data), offsets, (m, n))
 
 
-def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
+def _ell_from_scipy(a: sp.spmatrix, dtype, wide_s: bool = False,
+                    wide_passes: int = 3) -> EllMatrix:
     from rails_tpu.sparse.ell_spmm import ell_windowize
 
     csr = a.tocsr()
@@ -376,8 +382,13 @@ def _ell_from_scipy(a: sp.spmatrix, dtype) -> EllMatrix:
         indices[rows, slots] = csr.indices
         values[rows, slots] = csr.data
     well = ell_windowize(indices, values, (m, n))
+    wide = None
+    if wide_s and well is not None:
+        from rails_tpu.sparse.wide_spmm import build_wide_window
+
+        wide = build_wide_window(well, passes=wide_passes)
     return EllMatrix(jnp.asarray(indices), jnp.asarray(values), (m, n),
-                     well)
+                     well, wide)
 
 
 def _hyb_split(a: sp.csr_matrix, dia_fill_limit: float,
@@ -434,7 +445,8 @@ def _hyb_from_scipy(a: sp.csr_matrix, dtype, dia_fill_limit: float,
 
 def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
                       dia_max_offsets: int = 96, dia_fill_limit: float = 8.0,
-                      dtype=None, **tags) -> SparseOperator:
+                      dtype=None, wide_s: bool = False,
+                      wide_passes: int = 3, **tags) -> SparseOperator:
     """Build a device SparseOperator from a scipy sparse matrix.
 
     fmt: 'auto' | 'dia' | 'hyb' | 'ell'.  'auto' picks DIA when the
@@ -445,6 +457,11 @@ def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
     path.  When full DIA doesn't qualify but a subset of diagonals
     covers most of the nnz, 'auto' falls back to HYB (dense diagonals +
     ELL remainder); otherwise ELL.
+
+    ``wide_s``: also build the dense-window MXU payload for wide
+    multivector applies (sparse/wide_spmm.py; costs w/L values per nnz
+    of device memory, so opt-in); ``wide_passes`` picks its precision
+    (3 ~ 1.5e-5 relative, 6 ~ f32).
     """
     if dtype is None:
         dtype = jnp.asarray(0.0).dtype
@@ -476,8 +493,9 @@ def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
             if bwd is None:  # transpose split can fail independently
                 bwd = _ell_from_scipy(a.T.tocsr(), dtype)
     if fmt == "ell":
-        fwd = _ell_from_scipy(a, dtype)
-        bwd = None if sym else _ell_from_scipy(a.T.tocsr(), dtype)
+        fwd = _ell_from_scipy(a, dtype, wide_s, wide_passes)
+        bwd = None if sym else _ell_from_scipy(a.T.tocsr(), dtype,
+                                               wide_s, wide_passes)
     elif fmt not in ("dia", "hyb"):
         raise ValueError(f"unknown sparse format {fmt!r}")
     return SparseOperator(fwd, bwd, nnz=nnz, **tags)

@@ -6,6 +6,7 @@ suites (GenericOperatorWrapper_test.cpp / GenericMultiVectorWrapper_test
 matrix, which is what guarantees the solver can host any backend.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -515,6 +516,203 @@ class TestEllSpmmKernel:
         x = jnp.asarray(rng.uniform(-1, 1, (512, 3)))
         y = jax.jit(lambda o, v: o.matmat(v))(op, x)
         assert np.allclose(np.asarray(y), a @ np.asarray(x), atol=1e-10)
+
+
+class TestWideSpmm:
+    """Dense-window MXU kernel for wide multivectors
+    (rails_tpu/sparse/wide_spmm.py, VERDICT r04 item 4): the gather
+    kernel's escape route at s >= 64, probed live in round 4
+    (ell_spmm.py docstring route 3)."""
+
+    @staticmethod
+    def _banded(rng, m, ell_l, band):
+        return TestEllSpmmKernel._banded_random(rng, m, ell_l, band)
+
+    def test_build_and_interpreter_matches(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        from rails_tpu.sparse.wide_spmm import wide_spmm_t
+
+        m, s = 512, 64
+        a = self._banded(rng, m, 4, 32)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32,
+                               wide_s=True)
+        wide = op.fwd.wide
+        assert wide is not None and wide.passes == 3
+        x = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = wide_spmm_t(wide, x.T).T
+        ref = a @ np.asarray(x)
+        scale = np.abs(ref).max()
+        # 3-pass bf16: ~2^-17 split residual per operand (~1.5e-5 rel)
+        assert np.allclose(np.asarray(y), ref, atol=8e-5 * scale)
+
+    def test_six_pass_is_f32_grade(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        from rails_tpu.sparse.wide_spmm import (build_wide_window,
+                                                wide_spmm_t)
+
+        m, s = 512, 72
+        a = self._banded(rng, m, 5, 40)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        wide6 = build_wide_window(op.fwd.well, passes=6)
+        assert wide6 is not None and wide6.passes == 6
+        x = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = wide_spmm_t(wide6, x.T).T
+        ref = a @ np.asarray(x)
+        scale = np.abs(ref).max()
+        assert np.allclose(np.asarray(y), ref, atol=5e-7 * scale)
+
+    def test_odd_widths_padded(self, rng):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        from rails_tpu.sparse.wide_spmm import wide_spmm_t
+
+        m, s = 512, 67  # not a vreg-row multiple
+        a = self._banded(rng, m, 4, 32)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32,
+                               wide_s=True)
+        x = jnp.asarray(rng.uniform(-1, 1, (m, s)), dtype=jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = wide_spmm_t(op.fwd.wide, x.T).T
+        assert y.shape == (m, s)
+        ref = a @ np.asarray(x)
+        assert np.allclose(np.asarray(y), ref,
+                           atol=8e-5 * np.abs(ref).max())
+
+    def test_dispatch_gating(self, rng):
+        """wide_spmm declines off-TPU, for narrow operands, and for
+        payloads without the wide window - the callers fall through to
+        the gather/XLA paths."""
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        from rails_tpu.sparse.wide_spmm import wide_spmm
+
+        m = 512
+        a = self._banded(rng, m, 4, 32)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32,
+                               wide_s=True)
+        x = jnp.asarray(rng.uniform(-1, 1, (m, 64)), dtype=jnp.float32)
+        assert wide_spmm(op.fwd, x) is None  # cpu backend
+        bare = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        assert bare.fwd.wide is None
+
+    def test_bytes_cap_refuses(self, rng):
+        from rails_tpu.sparse.formats import sparse_from_scipy
+        from rails_tpu.sparse.wide_spmm import build_wide_window
+
+        a = self._banded(rng, 512, 4, 32)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32)
+        assert build_wide_window(op.fwd.well, bytes_cap=1000) is None
+
+    def test_pytree_roundtrip(self, rng):
+        from rails_tpu.sparse.formats import sparse_from_scipy
+
+        a = self._banded(rng, 512, 4, 32)
+        op = sparse_from_scipy(a, fmt="ell", dtype=jnp.float32,
+                               wide_s=True)
+        leaves, treedef = jax.tree_util.tree_flatten(op)
+        op2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert op2.fwd.wide is not None
+        assert op2.fwd.wide.w == op.fwd.wide.w
+
+
+class TestHubSplit:
+    """Hub-splitting for power-law sparsity (rails_tpu/sparse/hub.py,
+    VERDICT r04 item 5): dense MXU hub rows + compact-window hub
+    columns + windowized bulk."""
+
+    @staticmethod
+    def _superhub(rng, m=1024, ell_l=4, band=24, n_hubs=8, hub_deg=200):
+        """Banded bulk plus a few superhub rows/columns - the realistic
+        scale-free-with-locality class the split targets."""
+        a = TestEllSpmmKernel._banded_random(rng, m, ell_l, band).tolil()
+        hubs = rng.choice(m, n_hubs, replace=False)
+        for hb in hubs:
+            cols = rng.choice(m, hub_deg, replace=False)
+            vals = rng.uniform(-1, 1, hub_deg)
+            a[hb, cols] = vals
+            a[cols, hb] = vals * 0.5    # hub columns too (nonsymmetric)
+        return a.tocsr()
+
+    def test_matches_scipy(self, rng):
+        from rails_tpu.sparse.hub import hub_operator
+
+        a = self._superhub(rng)
+        op = hub_operator(a, max_hubs=16, degree_factor=6.0)
+        assert op.hub_idx.shape[0] > 0
+        assert op.rest.well is not None  # bulk windowizes
+        x = jnp.asarray(rng.uniform(-1, 1, (a.shape[0], 5)))
+        np.testing.assert_allclose(np.asarray(op.matmat(x)),
+                                   a @ np.asarray(x), atol=1e-11)
+        np.testing.assert_allclose(np.asarray(op.rmatmat(x)),
+                                   a.T @ np.asarray(x), atol=1e-11)
+
+    def test_symmetric_reuses_split(self, rng):
+        from rails_tpu.sparse.hub import hub_operator
+
+        a = self._superhub(rng)
+        a = (a + a.T).tocsr()
+        op = hub_operator(a, max_hubs=16, degree_factor=6.0)
+        assert op.is_symmetric and op.bwd is None
+        x = jnp.asarray(rng.uniform(-1, 1, (a.shape[0], 3)))
+        np.testing.assert_allclose(np.asarray(op.rmatmat(x)),
+                                   a.T @ np.asarray(x), atol=1e-11)
+
+    def test_under_jit_as_argument(self, rng):
+        from rails_tpu.sparse.hub import hub_operator
+
+        a = self._superhub(rng)
+        op = hub_operator(a, max_hubs=16, degree_factor=6.0)
+        x = jnp.asarray(rng.uniform(-1, 1, (a.shape[0], 4)))
+        y = jax.jit(lambda o, z: o.matmat(z))(op, x)
+        np.testing.assert_allclose(np.asarray(y), a @ np.asarray(x),
+                                   atol=1e-11)
+
+    def test_solver_hosts_hub_operator(self, rng):
+        """The solver runs on a hub-split A (backend-contract check)."""
+        import rails_tpu
+        from rails_tpu.sparse.hub import hub_operator
+
+        a = self._superhub(rng, m=512, n_hubs=4, hub_deg=80)
+        a = (a + a.T).tolil()
+        a.setdiag(a.diagonal() - np.abs(a).sum(axis=1).A1 - 1.0)
+        op = hub_operator(a.tocsr(), max_hubs=8, degree_factor=6.0)
+        b = jnp.asarray(rng.uniform(0, 1, (512, 2)))
+        v, t, info = rails_tpu.solve(op, b, tol=1e-6, maxit=150)
+        assert info.converged
+        x_full = np.asarray(v) @ np.asarray(t) @ np.asarray(v).T
+        r = a.tocsr() @ x_full + x_full @ a.tocsr().T \
+            + np.asarray(b) @ np.asarray(b).T
+        r0 = np.linalg.norm(np.asarray(b).T @ np.asarray(b), 2)
+        assert np.linalg.norm(r, 2) / r0 < 1e-5
+
+    def test_ba_coverage_is_sqrt_bounded(self, rng):
+        """Pure Barabasi-Albert: hub coverage of a w-bounded set is
+        ~sqrt(w/m) - the recorded reason no VMEM-window split pays
+        there (module docstring; probe_hub_ba.py at m=2^20)."""
+        from rails_tpu.sparse.hub import hub_coverage
+
+        m, k = 4096, 4
+        # preferential attachment via the repeated-endpoint trick
+        targets = list(range(k))
+        ends = []
+        for v in range(k, m):
+            picks = rng.choice(targets, k, replace=False)
+            for u in picks:
+                ends += [v, u]
+            targets += [v] * k + list(picks)
+        e = np.asarray(ends).reshape(-1, 2)
+        a = sp.coo_matrix((np.ones(len(e)), (e[:, 0], e[:, 1])),
+                          shape=(m, m)).tocsr()
+        a = a + a.T
+        cov = hub_coverage(a, 128)
+        # sqrt(w/m) ~ 0.18 at w=128/m=4096; allow the finite-size bump
+        assert cov < 0.45, cov
 
 
 class TestReorder:
