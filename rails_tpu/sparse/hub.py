@@ -109,7 +109,12 @@ class HubSplitOperator(LinearOperator):
         if hubcol is not None:
             y = y + ell_spmm(hubcol, x[hub_idx])
         if d is not None:
-            y = y.at[hub_idx].add(d @ x)
+            # HIGHEST: the TPU default would run this GEMM at bf16
+            # (measured 2e-3 relative error on the hub rows - round-5
+            # live-chip finding); the apply is D-streaming-bound, so
+            # the extra passes are free
+            y = y.at[hub_idx].add(jax.lax.dot(
+                d, x, precision=jax.lax.Precision.HIGHEST))
         return y
 
     def matmat(self, x):
