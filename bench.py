@@ -1023,6 +1023,60 @@ def mesh_scaling_bench():
     print(json.dumps(results))
 
 
+# Compact headline (VERDICT r04 weak 1 / next-round item 3): the
+# consolidated line outgrew the driver's 2,000-char tail window in r04
+# and stopped parsing.  The orchestrator prints the FULL line first,
+# then this compact (< ~1,500 chars) headline line LAST - the parser
+# takes the last JSON line, so the machine-readable channel stays
+# intact while the full record rides just above it.
+COMPACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline", "vs_stream",
+    "timing_suspect", "spmm_impl", "kernel_gbs", "stream_gbs",
+    "spmm_wrapper_overhead",
+    "acc_single_res_true", "acc_refined_res_true", "acc_target_met",
+    "acc_overhead_x", "acc_refined_wall_s",
+    "ell_spmm_nnz_per_s", "ell_vs_xla", "ell_vs_gather_ceiling",
+    "hub_speedup_vs_xla", "hub_spmm_nnz_per_s",
+    "moc_res_fro", "moc_iters", "moc_converged",
+    "solve_wall_s", "solve_iters", "solve_converged",
+    "cont_cold_iters", "cont_warm_iters_mean",
+    "cont_warm_speedup_iters", "cont_warm_speedup_wall",
+    "scale_n", "scale_res_true", "scale_converged", "scale_wall_s",
+    "mesh_comm_minimality", "ell_comm_minimality",
+    "mesh_halo_overhead_vs_plain", "ell_halo_overhead_vs_plain",
+)
+COMPACT_LIMIT = 1500
+
+
+def build_compact_line(out) -> str:
+    """The final-stdout-line headline: guaranteed under COMPACT_LIMIT
+    chars (floats at 6 significant digits; drops its trailing sections
+    if ever needed)."""
+    def r6(v):
+        if isinstance(v, float):
+            return float(f"{v:.6g}")
+        return v
+
+    compact = {k: r6(out[k]) for k in COMPACT_KEYS if k in out}
+    compact["phase_walls"] = {
+        k: r6(v.get("wall_s")) for k, v in out.get("phases", {}).items()}
+    errs = {k: v["error"][:60] for k, v in out.get("phases", {}).items()
+            if "error" in v}
+    if errs:
+        compact["phase_errors"] = errs
+    compact["provenance"] = (
+        "compact headline of the full consolidated line directly "
+        "above (same single orchestrated run)")
+    line = json.dumps(compact)
+    if len(line) > COMPACT_LIMIT:  # defensive: the headline must parse
+        for k in ("provenance", "phase_errors", "phase_walls"):
+            compact.pop(k, None)
+            line = json.dumps(compact)
+            if len(line) <= COMPACT_LIMIT:
+                break
+    return line
+
+
 def _extract_json(text):
     """Last parseable JSON line of a phase's stdout (phases may print
     intermediate lines; the final full dict wins)."""
@@ -1113,49 +1167,9 @@ def main():
                           f"{budget:.0f}s")}
     print(json.dumps(out), flush=True)  # never leave an empty tail
 
-    # Compact headline (VERDICT r04 weak 1 / next-round item 3): the
-    # consolidated line outgrew the driver's 2,000-char tail window in
-    # r04 and stopped parsing.  emit() prints the FULL line first, then
-    # a compact (< ~1,500 chars) headline line LAST - the parser takes
-    # the last JSON line, so the machine-readable channel stays intact
-    # while the full record rides just above it.
-    compact_keys = (
-        "metric", "value", "unit", "vs_baseline", "vs_stream",
-        "timing_suspect", "spmm_impl", "kernel_gbs", "stream_gbs",
-        "spmm_wrapper_overhead",
-        "acc_single_res_true", "acc_refined_res_true", "acc_target_met",
-        "acc_overhead_x", "acc_refined_wall_s",
-        "ell_spmm_nnz_per_s", "ell_vs_xla", "ell_vs_gather_ceiling",
-        "hub_speedup_vs_xla", "wide_s_speedup",
-        "moc_res_fro", "moc_iters", "moc_converged",
-        "solve_wall_s", "solve_iters", "solve_converged",
-        "cont_cold_iters", "cont_warm_iters_mean",
-        "cont_warm_speedup_iters", "cont_warm_speedup_wall",
-        "scale_n", "scale_res_true", "scale_converged", "scale_wall_s",
-        "mesh_comm_minimality", "ell_comm_minimality",
-        "mesh_halo_overhead_vs_plain", "ell_halo_overhead_vs_plain",
-    )
-
     def emit():
         print(json.dumps(out), flush=True)
-        compact = {k: out[k] for k in compact_keys if k in out}
-        compact["phase_walls"] = {
-            k: v.get("wall_s") for k, v in out["phases"].items()}
-        errs = {k: v["error"][:60] for k, v in out["phases"].items()
-                if "error" in v}
-        if errs:
-            compact["phase_errors"] = errs
-        compact["provenance"] = (
-            "compact headline of the full consolidated line directly "
-            "above (same single orchestrated run)")
-        line = json.dumps(compact)
-        if len(line) > 1500:  # defensive: the headline must parse
-            for k in ("provenance", "phase_errors", "phase_walls"):
-                compact.pop(k, None)
-                line = json.dumps(compact)
-                if len(line) <= 1500:
-                    break
-        print(line, flush=True)
+        print(build_compact_line(out), flush=True)
 
     # (static_cap, reserve) per phase, in run order.  Reserves are the
     # floor a later phase is guaranteed; statics are the ceiling any
