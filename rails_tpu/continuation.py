@@ -55,6 +55,10 @@ class ContinuationSolver:
         self.options = options or SolverOptions(**opt_kwargs)
         self._prev_space = None
         self.history = []
+        # shared across steps: engines take payloads as jit arguments,
+        # so step i+1 replays step i's compiled while_loop against the
+        # new Jacobian with no retrace (see LyapunovSolver engine_cache)
+        self._engine_cache = {}
 
     @staticmethod
     def _truncate_basis(v, t, reduced_size: int):
@@ -94,7 +98,8 @@ class ContinuationSolver:
         )
         solver = LyapunovSolver(a, b if b is not None else self.b,
                                 m if m is not None else self.m,
-                                options=opts, mesh=self.mesh)
+                                options=opts, mesh=self.mesh,
+                                engine_cache=self._engine_cache)
         v, t, info = solver.solve(compiled=compiled)
         self._prev_space = self._truncate_basis(
             v, t, self.options.reduced_size)

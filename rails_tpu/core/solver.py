@@ -116,13 +116,24 @@ class LyapunovSolver:
     """
 
     def __init__(self, a, b, m=None, options: Optional[SolverOptions] = None,
-                 mesh=None, spmm: str = "auto", b_sign=None, **opt_kwargs):
+                 mesh=None, spmm: str = "auto", b_sign=None,
+                 engine_cache: Optional[dict] = None, **opt_kwargs):
         """``b_sign``: optional small symmetric (p, p) matrix S making the
         RHS the *signed* low-rank form B S B' instead of B B'.  The
         iteratively-refined driver (rails_tpu.refine) uses this to solve
         correction equations whose right-hand side - the residual of a
         previous stage - is symmetric indefinite.  No reference analogue
-        (the reference is f64-only and never needs defect correction)."""
+        (the reference is f64-only and never needs defect correction).
+
+        ``engine_cache``: optional dict shared BETWEEN solver instances
+        with identical options/geometry (the continuation driver passes
+        one across its steps).  Engines are keyed by static shapes only
+        and take the operator payloads as jit arguments, so a cached
+        engine replays against a new A without any retrace - a warm
+        continuation step then costs init + a few chunk dispatches
+        instead of a full trace (the round-5 warm wall fix).  Sharing
+        across instances with DIFFERENT options or b_sign structure is
+        invalid (engines close over options at trace time)."""
         self.options = options or SolverOptions(**opt_kwargs)
         self.b_sign = None if b_sign is None else jnp.asarray(b_sign)
         self.A = as_operator(a)
@@ -200,7 +211,7 @@ class LyapunovSolver:
                 self.B = shard_operator(self.B, mesh, spmm=spmm)
             else:
                 self._b_array = shard_array_rows(self._b_array, mesh)
-        self._engine_cache = {}
+        self._engine_cache = {} if engine_cache is None else engine_cache
 
     def _check_singular_m(self) -> None:
         """Warn when the mass matrix looks singular - the reference's
@@ -282,6 +293,33 @@ class LyapunovSolver:
             return "sign", False
         return "schur", False
 
+    def _engine_key(self, kind: str, kb: int):
+        """Cache key for a compiled engine: every option/static that is
+        TRACED into ``_build_iterate`` (a shared engine_cache crossing
+        solver instances - the continuation driver - must never reuse an
+        engine whose traced behavior differs; e.g. cold steps trace
+        restart_upon_start=False, warm steps True).  B itself rides as a
+        jit argument, but its column count and the normalization r0sq
+        are trace constants - sharing requires the same B, which the
+        continuation contract guarantees."""
+        o = self.options
+        dtype = jnp.dtype(o.dtype) if o.dtype is not None \
+            else jnp.asarray(0.0).dtype
+        return (kind, kb, self.A.shape[0], self._p(), str(dtype),
+                o.maxit, o.tol, o.expand, o.expansion_doubles,
+                o.effective_lanczos, o.lanczos_tolerance,
+                o.lanczos_reorth, o.restart_size, o.reduced_size,
+                o.restart_iterations, o.effective_restart_tolerance,
+                o.restart_tolerance_mode, o.restart_upon_start,
+                o.restart_upon_convergence, o.fast_orthogonalization,
+                o.ortho, o.ortho_drop_tol, o.precision,
+                o.projected_solver, o.projection_major,
+                o.projection_minor, o.max_space,
+                None if o.inv_a is None else id(o.inv_a),
+                None if o.nullspace is None else id(o.nullspace),
+                self.b_sign is None,
+                None if self.mesh is None else id(self.mesh))
+
     # ------------------------------------------------------------------
     # public API
     # ------------------------------------------------------------------
@@ -322,7 +360,7 @@ class LyapunovSolver:
 
         def step_for(kb, probe_state=None):
             st = dict(static, kb=kb, k_limit=min(m, kb - s_slot))
-            key = (kb, opt.maxit)
+            key = self._engine_key("step", kb)
             if key not in self._engine_cache:
                 # The operator payloads enter as jit ARGUMENTS (pytrees),
                 # not closure constants: embedded constants bloat the
@@ -353,7 +391,7 @@ class LyapunovSolver:
                 if self.mesh is not None:
                     from rails_tpu.parallel.sharded import shard_state
                     state = shard_state(state, self.mesh)
-                wl_key = (cap_kb, opt.maxit, "while_loop")
+                wl_key = self._engine_key("while_loop", cap_kb)
                 if wl_key not in self._engine_cache:
                     st_full = dict(static, kb=cap_kb,
                                    k_limit=min(m, cap_kb - s_slot))

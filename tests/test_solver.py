@@ -265,6 +265,43 @@ class TestExtras:
         # warm-started steps converge faster than the cold start
         assert min(iters[1:]) < iters[0]
 
+    def test_continuation_shares_engines_across_steps(self, rng):
+        """Warm steps replay the previous warm step's compiled engine
+        against the new Jacobian (payloads are jit ARGUMENTS): after a
+        cold + two warm compiled steps, the shared cache holds exactly
+        two engines (cold and warm trace differ in restart_upon_start),
+        and correctness is untouched - the round-5 warm wall-clock fix."""
+        from rails_tpu.continuation import ContinuationSolver
+        n = 24
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 2.0 * jnp.eye(n)
+        cont = ContinuationSolver(b, tol=1e-6, reduced_size=6)
+        sizes = []
+        for theta in (0.0, 0.05, 0.1):
+            a_theta = a + theta * jnp.eye(n)
+            v, t, info = cont.step(a_theta, compiled=True)
+            assert info.converged
+            assert true_residual(a_theta, v, t, b) < 1e-4
+            sizes.append(len(cont._engine_cache))
+        assert sizes == [1, 2, 2], sizes
+
+    def test_engine_key_separates_traced_options(self, rng):
+        """A shared engine cache must never serve an engine whose traced
+        behavior differs: keys include every option read inside
+        _build_iterate (restart_upon_start was the near-miss)."""
+        import dataclasses
+
+        n = 24
+        a, b = tridiagonal_problem(rng, n)
+        s1 = rails_tpu.LyapunovSolver(a, b, tol=1e-6)
+        k1 = s1._engine_key("while_loop", 32)
+        s2 = rails_tpu.LyapunovSolver(
+            a, b, options=dataclasses.replace(
+                s1.options, restart_upon_start=True))
+        assert s2._engine_key("while_loop", 32) != k1
+        s3 = rails_tpu.LyapunovSolver(a, b, tol=1e-6)
+        assert s3._engine_key("while_loop", 32) == k1
+
     def test_continuation_save_resume(self, rng, tmp_path):
         """Cross-process continuation: save the converged subspace to
         disk, resume in a FRESH ContinuationSolver, and the next step
