@@ -20,10 +20,16 @@ process per host, ``jax.distributed`` wiring the global device view
 (the replicated-host-work pattern of the reference's redundant k x k
 compute); the solver state and operator payloads are placed row-sharded
 over the global mesh, B through per-process row slabs
-(``make_global_array``).  Covers nonsingular-M problems; a singular M
-(Schur path) needs the gather-to-serial A11 factorization, which is
-single-controller - run those without --distributed (the reference has
-the same serial bottleneck in Amesos/KLU, SchurOperator.cpp:177-186).
+(``make_global_array``).  Singular-M (DAE/Schur) problems run the
+distributed SchurOperator (parallel/schur_dist.py) - the reference
+driver's production configuration (main.cpp:78-98) - with the A11
+dense LU replicated on every device.  Post-processing: the direct
+(nonsingular-M) path runs eigs over the row-sharded V with no host
+gather (the reference's distributed Anasazi posture, main.cpp:140-170);
+the Schur path's FULL-SPACE solution operator mixes the replicated
+algebraic block with the sharded dynamic block, so its eigenanalysis
+still runs replicated on the gathered V - quadratic-in-k, linear-in-m
+host work, acceptable to production k (~100).
 """
 
 from __future__ import annotations

@@ -266,11 +266,13 @@ class TestExtras:
         assert min(iters[1:]) < iters[0]
 
     def test_continuation_shares_engines_across_steps(self, rng):
-        """Warm steps replay the previous warm step's compiled engine
+        """Warm steps replay the previous warm step's compiled engines
         against the new Jacobian (payloads are jit ARGUMENTS): after a
         cold + two warm compiled steps, the shared cache holds exactly
-        two engines (cold and warm trace differ in restart_upon_start),
-        and correctness is untouched - the round-5 warm wall-clock fix."""
+        four engines - {init, while_loop} for the cold trace and for
+        the warm trace (they differ in restart_upon_start / k0) - and
+        the third step adds NOTHING (full reuse); correctness is
+        untouched - the round-5 warm wall-clock fix."""
         from rails_tpu.continuation import ContinuationSolver
         n = 24
         a, b = tridiagonal_problem(rng, n)
@@ -283,7 +285,7 @@ class TestExtras:
             assert info.converged
             assert true_residual(a_theta, v, t, b) < 1e-4
             sizes.append(len(cont._engine_cache))
-        assert sizes == [1, 2, 2], sizes
+        assert sizes == [2, 4, 4], sizes
 
     def test_engine_key_separates_traced_options(self, rng):
         """A shared engine cache must never serve an engine whose traced
