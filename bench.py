@@ -415,12 +415,14 @@ def phase_solve() -> None:
 
 
 def _steady_rate(timevec, n_drop_frac=0.25):
-    """Steady-state seconds/iteration from a cumulative per-iteration
+    """Steady-state seconds per RECORDED iteration from a cumulative
     wall vector, excluding the leading fraction (where compile and
-    first-dispatch cost land).  Gives the compile-separated walls the
-    acc_overhead headline needs (VERDICT r04 weak 3: the raw wall ratio
-    flapped 0.62 <-> 1.53 across runs because each run pays different
-    tunnel-compile noise)."""
+    first-dispatch cost land).  Note SolveInfo.timevec is
+    recvec-filtered (the iteration after a restart is unrecorded), so
+    this is per recorded entry, not per info.iter iteration - use
+    ``_steady_wall`` for whole-solve comparisons (round-5 review
+    finding: multiplying this rate by info.iter inflates restart-heavy
+    solves by their restart fraction)."""
     import numpy as np
 
     tv = np.asarray(timevec, dtype=float)
@@ -429,6 +431,25 @@ def _steady_rate(timevec, n_drop_frac=0.25):
         return tv[-1] / max(n, 1) if n else 0.0
     k0 = max(1, int(n * n_drop_frac))
     return float((tv[-1] - tv[k0]) / (n - 1 - k0))
+
+
+def _steady_wall(timevec, n_drop_frac=0.25):
+    """Compile-separated whole-solve wall: the steady tail rate of the
+    cumulative wall vector extrapolated over the full recorded span.
+    Entry counts cancel, so the recvec filtering (restart iterations
+    unrecorded) introduces no bias - the elapsed time of unrecorded
+    iterations is inside the cumulative entries either way.  Gives the
+    acc_overhead headline its reproducibility (VERDICT r04 weak 3: the
+    raw wall ratio flapped 0.62 <-> 1.53 on tunnel-compile noise)."""
+    import numpy as np
+
+    tv = np.asarray(timevec, dtype=float)
+    n = len(tv)
+    if n < 4:
+        return float(tv[-1]) if n else 0.0
+    k0 = max(1, int(n * n_drop_frac))
+    rate = (tv[-1] - tv[k0]) / (n - 1 - k0)
+    return float(rate * (n - 1))
 
 
 def phase_accuracy() -> None:
@@ -534,14 +555,12 @@ def phase_accuracy() -> None:
     wall_refined = time.perf_counter() - t0
     refined_true = true_rel(v2, t2)
     # acc_overhead_x: compile-separated (VERDICT r04 next-round item 7).
-    # Both sides extrapolate iterations x steady seconds/iteration, with
-    # the leading quarter of each solve (compile + first dispatch)
-    # excluded - the raw wall ratio is kept as acc_overhead_wall_x.
+    # Both sides are steady-tail walls extrapolated over the whole
+    # solve (leading quarter - compile + first dispatch - excluded);
+    # the raw wall ratio is kept as acc_overhead_wall_x.
     rate1 = _steady_rate(info1.timevec)
-    rate_stages = [_steady_rate(s.timevec) for s in info2.stages]
-    steady_single = info1.iter * rate1
-    steady_refined = sum(s.iter * r
-                         for s, r in zip(info2.stages, rate_stages))
+    steady_single = _steady_wall(info1.timevec)
+    steady_refined = sum(_steady_wall(s.timevec) for s in info2.stages)
     print(json.dumps({
         "acc_n": n, "acc_tol": 1e-8,
         "acc_single_res_est": float(info1.res),
@@ -786,7 +805,10 @@ def phase_scale() -> None:
         "scale_iters": info.iter,
         "scale_rank": int(v.shape[1]),
         "scale_wall_s": wall,
-        "scale_steady_s_per_iter": _steady_rate(info.stages[0].timevec),
+        # per RECORDED iteration (restart iterations are unrecorded in
+        # timevec; ~8% of iterations at this restart ladder)
+        "scale_steady_s_per_recorded_iter": _steady_rate(
+            info.stages[0].timevec),
     }
     print(json.dumps(out), flush=True)  # before the host verification
     # f64 true residual via factored power iteration (host; few iters -

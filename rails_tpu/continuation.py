@@ -87,12 +87,18 @@ class ContinuationSolver:
         import dataclasses
 
         warm = self._prev_space is not None
+        # the carried basis is a unitary rotation of an orthonormal
+        # converged basis: skip the per-column re-orthonormalization.
+        # EXCEPT under M-orthogonalization with a per-step mass matrix:
+        # the basis is orthonormal in the PREVIOUS M's inner product,
+        # and feeding it through the skip path would leave the Gram
+        # data inconsistent (round-5 review finding)
+        basis_still_orthonormal = warm and not (
+            self.options.ortho == "M" and m is not None)
         opts = dataclasses.replace(
             self.options,
             space=self._prev_space if warm else self.options.space,
-            # the carried basis is a unitary rotation of an orthonormal
-            # converged basis: skip the per-column re-orthonormalization
-            space_is_orthogonalized=warm
+            space_is_orthogonalized=basis_still_orthonormal
             or self.options.space_is_orthogonalized,
             restart_upon_start=warm or self.options.restart_upon_start,
         )

@@ -298,13 +298,25 @@ class LyapunovSolver:
         TRACED into ``_build_iterate`` (a shared engine_cache crossing
         solver instances - the continuation driver - must never reuse an
         engine whose traced behavior differs; e.g. cold steps trace
-        restart_upon_start=False, warm steps True).  B itself rides as a
-        jit argument, but its column count and the normalization r0sq
-        are trace constants - sharing requires the same B, which the
-        continuation contract guarantees."""
+        restart_upon_start=False, warm steps True).  The value-carrying
+        trace inputs (operator payloads, B, b_sign, the r0sq
+        normalization, the nullspace basis) all ride as engine
+        ARGUMENTS, so values may change freely between shared
+        instances; every STRUCTURAL fact the closures capture (M
+        presence, B kind, the resolved projected-solver method, shapes,
+        options) is keyed here.  id()-keyed objects are pinned alive in
+        the cache so a recycled CPython id can never alias a freed one
+        (round-5 review finding)."""
         o = self.options
         dtype = jnp.dtype(o.dtype) if o.dtype is not None \
             else jnp.asarray(0.0).dtype
+        to_pin = [obj for obj in (o.inv_a, self.mesh)
+                  if obj is not None]
+        if to_pin:
+            pins = self._engine_cache.setdefault("__pins__", [])
+            for obj in to_pin:
+                if all(x is not obj for x in pins):
+                    pins.append(obj)
         return (kind, kb, self.A.shape[0], self._p(), str(dtype),
                 o.maxit, o.tol, o.expand, o.expansion_doubles,
                 o.effective_lanczos, o.lanczos_tolerance,
@@ -315,8 +327,10 @@ class LyapunovSolver:
                 o.ortho, o.ortho_drop_tol, o.precision,
                 o.projected_solver, o.projection_major,
                 o.projection_minor, o.max_space,
+                self.M is None, self._b_is_operator,
+                self._resolve_lyap_method(),
                 None if o.inv_a is None else id(o.inv_a),
-                None if o.nullspace is None else id(o.nullspace),
+                o.nullspace is None,
                 self.b_sign is None,
                 None if self.mesh is None else id(self.mesh))
 
@@ -357,6 +371,14 @@ class LyapunovSolver:
                 ProjectedSolverPerformanceWarning)
 
         ops = self._ops_tuple()
+        # value-carrying trace inputs that the engine key does NOT
+        # cover ride as ARGUMENTS next to the operator payloads: the
+        # residual normalization r0sq (B's values) and the nullspace
+        # basis - a shared engine_cache (continuation) then stays
+        # correct when a step changes B or the deflation space
+        # (round-5 review finding: a cached engine with r0sq baked in
+        # declared phantom convergence after a B change)
+        extras = (static["r0sq"], static["nullspace"])
 
         def step_for(kb, probe_state=None):
             st = dict(static, kb=kb, k_limit=min(m, kb - s_slot))
@@ -368,9 +390,9 @@ class LyapunovSolver:
                 # recompile whenever the payload values change - the
                 # continuation/refinement drivers re-solve with updated
                 # A, which now hits the persistent compile cache instead.
-                def engine_fn(ops, state, st=st):
+                def engine_fn(ops, extras, state, st=st):
                     with self._swapped_ops(ops):
-                        return self._build_iterate(st)(state)
+                        return self._build_iterate(st, extras)(state)
 
                 engine = jax.jit(engine_fn)
                 if probe_state is not None:
@@ -379,7 +401,8 @@ class LyapunovSolver:
                     # (VERDICT round-1 item 10); the Compiled object is
                     # the engine, so nothing compiles twice
                     with timer("Solver", f"compile[kb={kb}]"):
-                        engine = engine.lower(ops, probe_state).compile()
+                        engine = engine.lower(
+                            ops, extras, probe_state).compile()
                 self._engine_cache[key] = engine
             return self._engine_cache[key]
 
@@ -398,10 +421,11 @@ class LyapunovSolver:
 
                     # cond takes a dynamic iteration target so the same
                     # engine serves chunked and uninterrupted runs; the
-                    # operators ride in as arguments (see step_for)
-                    def wl_fn(ops, st, tgt):
+                    # operators (and extras) ride in as arguments (see
+                    # step_for)
+                    def wl_fn(ops, extras, st, tgt):
                         with self._swapped_ops(ops):
-                            iterate = self._build_iterate(st_full)
+                            iterate = self._build_iterate(st_full, extras)
                             return jax.lax.while_loop(
                                 lambda s: (~s.done) & (s.iter < tgt),
                                 iterate, st)
@@ -410,7 +434,7 @@ class LyapunovSolver:
                 engine = self._engine_cache[wl_key]
                 chunk = opt.timevec_chunk
                 if chunk <= 0:
-                    state = engine(ops, state, jnp.int32(opt.maxit))
+                    state = engine(ops, extras, state, jnp.int32(opt.maxit))
                     state.res.block_until_ready()
                     marks = [(int(state.iter), time.perf_counter() - t0)]
                 else:
@@ -421,7 +445,7 @@ class LyapunovSolver:
                     marks = []
                     while True:
                         tgt = min(int(state.iter) + chunk, opt.maxit)
-                        state = engine(ops, state, jnp.int32(tgt))
+                        state = engine(ops, extras, state, jnp.int32(tgt))
                         it_now = int(state.iter)  # sync point
                         marks.append((it_now, time.perf_counter() - t0))
                         if progress is not None:
@@ -448,7 +472,7 @@ class LyapunovSolver:
                             state = shard_state(state, self.mesh)
                         step = step_for(kb)
                 with timer("Solver", "iterate"):
-                    state = step(ops, state)
+                    state = step(ops, extras, state)
                     done = bool(state.done)
                 timevec.append(time.perf_counter() - t0)
                 if opt.verbosity > 0:
@@ -774,7 +798,12 @@ class LyapunovSolver:
     # ------------------------------------------------------------------
     # the jitted iteration
     # ------------------------------------------------------------------
-    def _build_iterate(self, static):
+    def _build_iterate(self, static, extras=None):
+        """``extras``: optional (r0sq, nullspace) pair overriding the
+        concrete values in ``static`` - engines pass tracers here so B
+        and the deflation basis stay runtime arguments of the compiled
+        program (shared-cache correctness; see _engine_key).  Direct
+        callers (dryrun/entry) omit it and get the static values."""
         opt = self.options
         A, B_op, M = self.A, self.B, self.M
         b_arr = None if self._b_is_operator else self._b_array
@@ -783,8 +812,11 @@ class LyapunovSolver:
         has_m, mortho = static["has_m"], static["mortho"]
         dtype = static["dtype"]
         lyap_method, e_spd = static["lyap_method"], static["e_spd"]
-        nullspace = static["nullspace"]
-        r0sq = static["r0sq"]
+        if extras is not None:
+            r0sq, nullspace = extras
+        else:
+            r0sq = static["r0sq"]
+            nullspace = static["nullspace"]
         k_limit = static["k_limit"]
         maxit, tol = opt.maxit, opt.tol
         rtol = opt.effective_restart_tolerance

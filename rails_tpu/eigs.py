@@ -95,7 +95,8 @@ def eigs(
     LowRankOperator over a sharded V work in multi-controller runs,
     where global arrays may not be closed over).
     """
-    apply_op, m = _as_apply(op)
+    _, m = _as_apply(op)  # validates the operator; the sweep applies
+    # through op.matmat directly (op is a jit argument there)
     if dtype is None:
         dtype = jnp.asarray(0.0).dtype
     if key is None:

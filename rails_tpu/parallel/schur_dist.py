@@ -55,19 +55,10 @@ __all__ = ["DistributedSchurOperator", "distribute_schur", "pad_system"]
 def _ell_arrays(a_scipy, dtype) -> Tuple[np.ndarray, np.ndarray]:
     """Row-ELL (indices, values) of a scipy matrix; padding slots carry
     index 0 with value 0 (harmless in both the gather and scatter
-    applies)."""
-    csr = a_scipy.tocsr()
-    m = csr.shape[0]
-    deg = np.diff(csr.indptr)
-    ell_l = max(int(deg.max()), 1) if m else 1
-    indices = np.zeros((m, ell_l), np.int32)
-    values = np.zeros((m, ell_l), jnp.dtype(dtype).name)
-    if csr.nnz:
-        rows = np.repeat(np.arange(m), deg)
-        slots = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
-        indices[rows, slots] = csr.indices
-        values[rows, slots] = csr.data
-    return indices, values
+    applies).  Shared core lives in formats.ell_arrays_from_scipy."""
+    from rails_tpu.sparse.formats import ell_arrays_from_scipy
+
+    return ell_arrays_from_scipy(a_scipy, dtype, pad_row_local=False)
 
 
 def _take_apply(idx, val, y):

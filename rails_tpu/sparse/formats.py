@@ -357,30 +357,45 @@ def _dia_from_scipy(a: sp.spmatrix, dtype) -> DiaMatrix:
     return DiaMatrix(jnp.asarray(data), offsets, (m, n))
 
 
-def _ell_from_scipy(a: sp.spmatrix, dtype, wide_s: bool = False,
-                    wide_passes: int = 3) -> EllMatrix:
-    from rails_tpu.sparse.ell_spmm import ell_windowize
-
+def ell_arrays_from_scipy(a: sp.spmatrix, dtype,
+                          pad_row_local: bool = True):
+    """Raw padded row-ELL (indices, values) of a scipy matrix - the
+    shared CSR-to-ELL scatter core (also used by the distributed Schur
+    payload builder, parallel/schur_dist.py).  ``pad_row_local`` fills
+    padding slots with the row's own first column index (keeps the
+    windowed kernel's per-chunk spans tight); False pads with index 0
+    (value 0 either way, harmless to gather and scatter applies)."""
     csr = a.tocsr()
     m, n = csr.shape
     deg = np.diff(csr.indptr)
     ell_l = max(int(deg.max()), 1) if m else 1
-    # pad slots with the row's own first index (row-local, keeps the
-    # windowed kernel's per-chunk spans tight); empty rows pad with the
-    # clamped row id
-    pad = np.minimum(np.arange(m, dtype=np.int64), max(n - 1, 0))
-    if csr.nnz:
-        first = np.where(deg > 0, csr.indices[np.minimum(
-            csr.indptr[:-1], csr.nnz - 1)], pad)
+    if pad_row_local:
+        # empty rows pad with the clamped row id
+        pad = np.minimum(np.arange(m, dtype=np.int64), max(n - 1, 0))
+        if csr.nnz:
+            first = np.where(deg > 0, csr.indices[np.minimum(
+                csr.indptr[:-1], csr.nnz - 1)], pad)
+        else:
+            first = pad
+        indices = np.repeat(first[:, None], ell_l,
+                            axis=1).astype(np.int32)
     else:
-        first = pad
-    indices = np.repeat(first[:, None], ell_l, axis=1).astype(np.int32)
-    values = np.zeros((m, ell_l), dtype=dtype)
+        indices = np.zeros((m, ell_l), np.int32)
+    values = np.zeros((m, ell_l), dtype=jnp.dtype(dtype).name)
     if csr.nnz:
         rows = np.repeat(np.arange(m), deg)
         slots = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], deg)
         indices[rows, slots] = csr.indices
         values[rows, slots] = csr.data
+    return indices, values
+
+
+def _ell_from_scipy(a: sp.spmatrix, dtype, wide_s: bool = False,
+                    wide_passes: int = 3) -> EllMatrix:
+    from rails_tpu.sparse.ell_spmm import ell_windowize
+
+    m, n = a.shape
+    indices, values = ell_arrays_from_scipy(a, dtype)
     well = ell_windowize(indices, values, (m, n))
     wide = None
     if wide_s and well is not None:
@@ -491,7 +506,16 @@ def sparse_from_scipy(a: sp.spmatrix, *, fmt: str = "auto",
             bwd = _hyb_from_scipy(
                 a.T.tocsr(), dtype, dia_fill_limit, dia_max_offsets)
             if bwd is None:  # transpose split can fail independently
-                bwd = _ell_from_scipy(a.T.tocsr(), dtype)
+                bwd = _ell_from_scipy(a.T.tocsr(), dtype, wide_s,
+                                      wide_passes)
+    if wide_s and fmt != "ell":
+        import warnings
+
+        warnings.warn(
+            f"wide_s=True only applies to the ELL format; this matrix "
+            f"resolved to fmt={fmt!r} and no dense-window payload was "
+            f"built (the DIA/HYB kernels are already width-robust) - "
+            f"pass fmt='ell' to force it", stacklevel=2)
     if fmt == "ell":
         fwd = _ell_from_scipy(a, dtype, wide_s, wide_passes)
         bwd = None if sym else _ell_from_scipy(a.T.tocsr(), dtype,

@@ -287,6 +287,67 @@ class TestExtras:
             sizes.append(len(cont._engine_cache))
         assert sizes == [2, 4, 4], sizes
 
+    def test_shared_cache_survives_b_change(self, rng):
+        """Round-5 review finding (confirmed repro): r0sq was baked
+        into the cached engines as a trace constant, so a continuation
+        step with a 1000x smaller per-step B declared phantom
+        convergence (res_est 5e-7, true residual 0.44).  r0sq now
+        rides as an engine ARGUMENT."""
+        from rails_tpu.continuation import ContinuationSolver
+        n = 24
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 2.0 * jnp.eye(n)
+        cont = ContinuationSolver(b, tol=1e-6, reduced_size=6)
+        cont.step(a, compiled=True)
+        cont.step(a + 0.05 * jnp.eye(n), compiled=True)
+        b3 = b * 1e-3
+        a3 = a + 0.1 * jnp.eye(n)
+        v, t, info = cont.step(a3, b=b3, compiled=True)
+        assert info.converged
+        r0 = float(np.linalg.norm(np.asarray(b3).T @ np.asarray(b3), 2))
+        assert true_residual(a3, v, t, b3) / r0 < 1e-4
+
+    def test_shared_cache_survives_m_presence_change(self, rng):
+        """Round-5 review finding (confirmed repro): the init engine
+        captured has_m as a closure constant, so a shared cache
+        crossing M-presence silently dropped M from the first Gram
+        block (reported 3.8e-9, true generalized residual 0.19).  The
+        engine key now includes M presence / B kind / the resolved
+        projected-solver method."""
+        n = 24
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 2.0 * jnp.eye(n)
+        cache = {}
+        v, t, info = rails_tpu.LyapunovSolver(
+            a, b, tol=1e-8, engine_cache=cache).solve(compiled=True)
+        assert info.converged
+        assert true_residual(a, v, t, b) < 1e-6
+        md = np.asarray(rng.uniform(0.5, 1.5, n))
+        v2, t2, info2 = rails_tpu.LyapunovSolver(
+            a, b, rails_tpu.DiagonalOperator(jnp.asarray(md)),
+            tol=1e-8, engine_cache=cache).solve(compiled=True)
+        assert info2.converged
+        assert true_residual(a, v2, t2, b, m=np.diag(md)) < 1e-6
+
+    def test_warm_step_reorthonormalizes_on_m_change(self, rng):
+        """Round-5 review finding: under ortho='M' a per-step mass
+        matrix invalidates the carried basis's M-orthonormality - the
+        skip-reorthonormalization flag must not be set then."""
+        from rails_tpu.continuation import ContinuationSolver
+        n = 24
+        a, b = tridiagonal_problem(rng, n)
+        a = a - 2.0 * jnp.eye(n)
+        m1 = rails_tpu.DiagonalOperator(
+            jnp.asarray(rng.uniform(0.5, 1.5, n)))
+        md2 = rng.uniform(0.5, 1.5, n)
+        m2 = rails_tpu.DiagonalOperator(jnp.asarray(md2))
+        cont = ContinuationSolver(b, m=m1, tol=1e-6, ortho="M")
+        cont.step(a)
+        v, t, info = cont.step(a + 0.05 * jnp.eye(n), m=m2)
+        assert info.converged
+        assert true_residual(a + 0.05 * np.eye(n), v, t, b,
+                             m=np.diag(md2)) < 1e-4
+
     def test_engine_key_separates_traced_options(self, rng):
         """A shared engine cache must never serve an engine whose traced
         behavior differs: keys include every option read inside
