@@ -414,22 +414,34 @@ def phase_solve() -> None:
     print(json.dumps(out))
 
 
+def _steady_drop(n, n_drop_frac=0.25, chunk=8):
+    """Leading entries to exclude from a cumulative wall vector: at
+    least the whole first timevec chunk PLUS one entry.  Compile cost
+    lands inside the first chunk and the per-iteration timevec is
+    interpolated between chunk marks, so any entry before the second
+    mark carries smeared compile time - a fraction-only drop left a
+    short refined stage's fresh-compile wall inside its 'steady' tail
+    and inflated acc_overhead_x to 8.6x on a cold-cache run (round-5
+    measurement; warm runs gave 2.3-2.8)."""
+    return max(1, int(n * n_drop_frac), min(chunk + 1, n - 2))
+
+
 def _steady_rate(timevec, n_drop_frac=0.25):
     """Steady-state seconds per RECORDED iteration from a cumulative
-    wall vector, excluding the leading fraction (where compile and
-    first-dispatch cost land).  Note SolveInfo.timevec is
-    recvec-filtered (the iteration after a restart is unrecorded), so
-    this is per recorded entry, not per info.iter iteration - use
-    ``_steady_wall`` for whole-solve comparisons (round-5 review
-    finding: multiplying this rate by info.iter inflates restart-heavy
-    solves by their restart fraction)."""
+    wall vector, excluding the leading entries (see _steady_drop).
+    Note SolveInfo.timevec is recvec-filtered (the iteration after a
+    restart is unrecorded), so this is per recorded entry, not per
+    info.iter iteration - use ``_steady_wall`` for whole-solve
+    comparisons (round-5 review finding: multiplying this rate by
+    info.iter inflates restart-heavy solves by their restart
+    fraction)."""
     import numpy as np
 
     tv = np.asarray(timevec, dtype=float)
     n = len(tv)
     if n < 4:
         return tv[-1] / max(n, 1) if n else 0.0
-    k0 = max(1, int(n * n_drop_frac))
+    k0 = _steady_drop(n, n_drop_frac)
     return float((tv[-1] - tv[k0]) / (n - 1 - k0))
 
 
@@ -447,7 +459,7 @@ def _steady_wall(timevec, n_drop_frac=0.25):
     n = len(tv)
     if n < 4:
         return float(tv[-1]) if n else 0.0
-    k0 = max(1, int(n * n_drop_frac))
+    k0 = _steady_drop(n, n_drop_frac)
     rate = (tv[-1] - tv[k0]) / (n - 1 - k0)
     return float(rate * (n - 1))
 
