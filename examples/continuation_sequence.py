@@ -13,6 +13,12 @@ resuming the sequence in a "fresh process" from a checkpoint file.
 
 Run:  python examples/continuation_sequence.py  (CPU or TPU)
 """
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run as python examples/<name>.py
 import os
 import tempfile
 import time

@@ -15,6 +15,10 @@ devices; on a pod slice the same code spans the real chips)
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run as python examples/<name>.py
 
 if "xla_force_host_platform_device_count" not in os.environ.get(
         "XLA_FLAGS", ""):

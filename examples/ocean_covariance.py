@@ -8,6 +8,12 @@ Mirrors matlab/test/test_MOC.m + src/main.cpp of the reference.
 Run (CPU):   python examples/ocean_covariance.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))  # run as python examples/<name>.py
+
 import jax
 
 jax.config.update("jax_enable_x64", jax.default_backend() == "cpu")
